@@ -1,0 +1,54 @@
+"""Global configuration for iifea_tpu.
+
+The reference's knob surface (DOLFIN ``parameters[...]``, PETSc options DB,
+per-demo argparse — see SURVEY.md §5 "Config / flag system") is consolidated
+here into one module-level config plus per-problem dataclasses in the demos.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+
+_CONFIGURED = False
+
+
+def setup(enable_x64: bool = True) -> None:
+    """Initialise JAX for immersed-FEA workloads.
+
+    Double precision is the default because the reference's numerics
+    (Nitsche penalties up to h^-3, basis-function-removal tolerances of 1e-9,
+    KSP rtol 1e-8 — common.py:509-641) are meaningless in f32. On TPU f64 is
+    emulated; performance-critical paths (bench.py) opt into mixed precision
+    explicitly via ``dtype=...`` arguments instead of flipping this switch.
+    """
+    global _CONFIGURED
+    if _CONFIGURED:
+        return
+    jax.config.update("jax_enable_x64", bool(enable_x64))
+    _CONFIGURED = True
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Mirrors the reference's linear-solve knobs (common.py:509-641).
+
+    method: 'cg' | 'gmres' (FGMRES) | 'gcr' | 'bicgstab' | 'direct'
+        ('direct' provides the 'mumps' role: sparse LU, executed on host —
+        there is no sparse direct factorization on TPU; see SURVEY.md §2.3 N5.)
+    pc: 'jacobi' | 'none' | 'bjacobi'
+    """
+
+    method: str = "gmres"
+    pc: str = "jacobi"
+    rtol: float = 1e-8
+    atol: float = 1e-9
+    max_it: int = 100000
+    gmres_restart: int = 300
+    bfr_tol: float | None = None  # basis-function removal (trimNodes) tolerance
+    monitor: bool = True
+
+
+def default_device_count() -> int:
+    return int(os.environ.get("IIFEA_DEVICES", len(jax.devices())))

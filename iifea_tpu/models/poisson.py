@@ -1,0 +1,175 @@
+"""Immersed Poisson with Nitsche boundary conditions.
+
+Weak-form parity with demos/poisson.py:
+
+  interiorResidual (poisson.py:41-45):
+      ∫_block ∇u·∇v dx − ∫_Γ (∇u⁺·n⁺) v⁺ dS − ∫_block f v dx
+  boundaryResidual (poisson.py:47-71), h_E = CellDiameter('+'):
+      sgn ∫_Γ (g − u⁺)(∇v⁺·n⁺) dS  [+ β h⁻¹ ∫_Γ (u⁺ − g) v⁺ dS if sym|overPenalize]
+
+The source f = −Δu_exact (poisson.py:38-39) is produced by JAX autodiff of the
+closed-form exact solution — the framework's replacement for UFL symbolic
+differentiation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.mesh.core import FunctionSpace, Mesh
+from iifea_tpu.ops.assembly import (
+    Form,
+    Term,
+    build_cell_domain,
+    build_facet_domain,
+    integrate,
+)
+
+
+def u_exact_fn(dim: int):
+    if dim == 2:
+        def u_ex(x):  # poisson.py:33
+            return jnp.sin(jnp.pi * (x[0] ** 2 + x[1] ** 2)) * jnp.cos(
+                jnp.pi * (x[0] - x[1])
+            )
+    else:
+        def u_ex(x):  # poisson.py:35
+            return jnp.sin(
+                jnp.pi * (x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
+            ) * jnp.cos(jnp.pi * (x[0] + x[1] + x[2]))
+    return u_ex
+
+
+def source_fn(u_ex):
+    """f = -div(grad(u_exact)) via autodiff (poisson.py:38-39)."""
+
+    def f(x):
+        return -jnp.trace(jax.hessian(u_ex)(x))
+
+    return f
+
+
+class PoissonProblem:
+    """Builds the Nitsche-Poisson residual Form on the immersed block."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int = 1,
+        sym: bool = True,
+        beta_value: float = 10.0,
+        over_penalize: bool = False,
+        block_id: int = 2,
+        surf_id: int = 3,
+        quad_degree: int | None = None,
+        u_exact=None,
+        f=None,
+    ):
+        self.mesh = mesh
+        self.space = FunctionSpace(mesh, degree=k, n_fields=1)
+        self.sym = bool(sym)
+        self.sgn = 1.0 if self.sym else -1.0
+        self.beta = float(beta_value)
+        self.over_penalize = bool(over_penalize)
+        qd = k if quad_degree is None else quad_degree  # poisson.py:154-155
+        self.u_ex = u_exact or u_exact_fn(mesh.dim)
+        self.f = f or source_fn(self.u_ex)
+
+        cells = np.where(mesh.material == block_id)[0]
+        fclass = mesh.classify_facets_by_material()
+        facets = np.where(fclass == surf_id)[0]
+        self.cell_dom = build_cell_domain(self.space, cells, qd)
+        self.facet_dom = build_facet_domain(self.space, facets, qd)
+        self.form = Form(
+            self.space,
+            [
+                Term(self.cell_dom, self._cell_kernel()),
+                Term(self.facet_dom, self._facet_kernel()),
+            ],
+        )
+
+    # -- kernels --------------------------------------------------------------
+
+    def _cell_kernel(self):
+        f = self.f
+
+        def kern(u_loc, aux_loc, ctx, params):
+            U = u_loc[:, 0]
+            gu = jnp.einsum("qbd,b->qd", ctx.gphi, U)
+            fx = jax.vmap(f)(ctx.x)
+            r = jnp.einsum("q,qd,qbd->b", ctx.w, gu, ctx.gphi)
+            r = r - jnp.einsum("q,q,qb->b", ctx.w, fx, ctx.phi)
+            return r[:, None]
+
+        return kern
+
+    def _facet_kernel(self):
+        u_ex, sgn, beta = self.u_ex, self.sgn, self.beta
+        penalize = self.over_penalize or self.sym
+
+        def kern(u_loc, aux_loc, ctx, params):
+            U = u_loc[:, 0]
+            uq = jnp.einsum("qb,b->q", ctx.phi, U)
+            gu = jnp.einsum("qbd,b->qd", ctx.gphi, U)
+            gun = gu @ ctx.n
+            gq = jax.vmap(u_ex)(ctx.x)
+            gphin = jnp.einsum("qbd,d->qb", ctx.gphi, ctx.n)
+            # consistency: -∫ (∇u·n) v   (poisson.py:44)
+            r = -jnp.einsum("q,q,qb->b", ctx.w, gun, ctx.phi)
+            # adjoint consistency: sgn ∫ (g − u)(∇v·n)  (poisson.py:67)
+            r = r + sgn * jnp.einsum("q,q,qb->b", ctx.w, gq - uq, gphin)
+            if penalize:
+                # penalty: β h⁻¹ ∫ (u − g) v  (poisson.py:68)
+                r = r + (beta / ctx.h) * jnp.einsum(
+                    "q,q,qb->b", ctx.w, uq - gq, ctx.phi
+                )
+            return r[:, None]
+
+        return kern
+
+    # -- error norms (poisson.py:216-234) --------------------------------------
+
+    def error_norms(self, u_f: jnp.ndarray):
+        u_ex = self.u_ex
+
+        def e_sq(u_loc, aux_loc, ctx, params):
+            uq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+            eq = uq - jax.vmap(u_ex)(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, eq**2)
+
+        def ge_sq(u_loc, aux_loc, ctx, params):
+            gu = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+            ge = gu - jax.vmap(jax.grad(u_ex))(ctx.x)
+            return jnp.einsum("q,qd->", ctx.w, ge**2)
+
+        def edge_sq(u_loc, aux_loc, ctx, params):
+            uq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+            eq = uq - jax.vmap(u_ex)(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, eq**2) / ctx.h
+
+        def exact_sq(u_loc, aux_loc, ctx, params):
+            return jnp.einsum("q,q->", ctx.w, jax.vmap(u_ex)(ctx.x) ** 2)
+
+        def gexact_sq(u_loc, aux_loc, ctx, params):
+            g = jax.vmap(jax.grad(u_ex))(ctx.x)
+            return jnp.einsum("q,qd->", ctx.w, g**2)
+
+        def edge_exact_sq(u_loc, aux_loc, ctx, params):
+            g = jax.vmap(u_ex)(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, g**2) / ctx.h
+
+        cd, fd = self.cell_dom, self.facet_dom
+        norm_L2 = integrate(cd, e_sq, u_f)
+        norm_H10 = integrate(cd, ge_sq, u_f)
+        norm_edge = integrate(fd, edge_sq, u_f)
+        L2 = integrate(cd, exact_sq, u_f)
+        H10 = integrate(cd, gexact_sq, u_f)
+        edge = integrate(fd, edge_exact_sq, u_f)
+        H1 = L2 + H10 + edge
+        norm_H1 = norm_L2 + norm_H10 + norm_edge
+        return {
+            "L2": float(jnp.sqrt(norm_L2) / jnp.sqrt(L2)),
+            "H10": float(jnp.sqrt(norm_H10) / jnp.sqrt(H10)),
+            "H1": float(jnp.sqrt(norm_H1) / jnp.sqrt(H1)),
+        }

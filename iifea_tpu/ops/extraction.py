@@ -1,0 +1,188 @@
+"""The extraction operator M (background -> foreground interpolation).
+
+TPU-native replacement for the reference's distributed PETSc AIJ matrix
+(readExOp, common.py:645-712). M is stored in padded row-ELL form:
+
+    idx (n_fg_dofs, kmax) int32   background dof ids (padded with 0)
+    val (n_fg_dofs, kmax) float   weights (padding weight 0)
+
+which makes the two hot operations embarrassingly vectorizable on TPU:
+
+* ``u_f = M u_b``  — a gather + weighted row-sum (VPU, bandwidth-bound),
+  replacing PETSc MatMult (transferToForeground, common.py:123-140);
+* ``r_b = Mᵀ r_f`` — a pre-sorted segment-sum, replacing MatMultTranspose
+  (AT_x, la_utils.py:143-163). The sort permutation is computed once on host,
+  so the device op is a gather + monotone segment-sum (no atomic scatters).
+
+Multi-field block offsets follow the reference exactly: foreground dofs
+interleave fields (node*n_fields + field) while background dofs are
+field-blocked (bg_id = node + field*m, common.py:703).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class ExtractionOperator:
+    """Sparse M of shape (n_fg_dofs, n_bg_dofs) in padded ELL rows."""
+
+    def __init__(self, idx, val, n_bg_dofs, _device_cache=None):
+        self.idx = idx
+        self.val = val
+        self.n_bg_dofs = int(n_bg_dofs)
+        self.n_fg_dofs = int(idx.shape[0])
+        if _device_cache is None:
+            _device_cache = self._build_transpose_cache()
+        (self._t_perm, self._t_ids, self._d_idx, self._d_val) = _device_cache
+
+    # -- construction --------------------------------------------------------
+
+    def _build_transpose_cache(self):
+        idx = np.asarray(self.idx)
+        val = np.asarray(self.val)
+        flat_ids = idx.ravel()
+        perm = np.argsort(flat_ids, kind="stable")
+        t_ids = flat_ids[perm]
+        return (
+            jnp.asarray(perm.astype(np.int32)),
+            jnp.asarray(t_ids.astype(np.int32)),
+            jnp.asarray(idx),
+            jnp.asarray(val),
+        )
+
+    @classmethod
+    def from_triples(
+        cls,
+        fg_nodes: np.ndarray,
+        bg_nodes: np.ndarray,
+        weights: np.ndarray,
+        n_fg_nodes: int,
+        n_bg_nodes: int | None = None,
+        n_fields: int = 1,
+    ) -> "ExtractionOperator":
+        """Build M from 0-based (fg_node, bg_node, weight) triples.
+
+        Scalar triples are replicated across fields with the reference's
+        block layout (common.py:679-708).
+        """
+        fg_nodes = np.asarray(fg_nodes, dtype=np.int64)
+        bg_nodes = np.asarray(bg_nodes, dtype=np.int64)
+        weights = np.asarray(weights, dtype=np.float64)
+        m = int(bg_nodes.max()) + 1 if n_bg_nodes is None else int(n_bg_nodes)
+        n_fg = n_fg_nodes * n_fields
+        n_bg = m * n_fields
+
+        # accumulate duplicate (fg, bg) entries like PETSc ADD_VALUES would not
+        # occur here (readExOp uses INSERT semantics: last value wins); we
+        # deduplicate keeping the last occurrence for exact parity.
+        key = fg_nodes * (m + 1) + bg_nodes
+        _, last_index = np.unique(key[::-1], return_index=True)
+        keep = len(key) - 1 - last_index
+        fg_nodes, bg_nodes, weights = fg_nodes[keep], bg_nodes[keep], weights[keep]
+
+        counts = np.bincount(fg_nodes, minlength=n_fg_nodes)
+        kmax = max(int(counts.max()) if len(counts) else 1, 1)
+        idx = np.zeros((n_fg, kmax), dtype=np.int32)
+        val = np.zeros((n_fg, kmax), dtype=np.float64)
+        order = np.argsort(fg_nodes, kind="stable")
+        fg_s, bg_s, w_s = fg_nodes[order], bg_nodes[order], weights[order]
+        # position of each entry within its row
+        row_start = np.zeros(len(fg_s), dtype=np.int64)
+        if len(fg_s):
+            new_row = np.ones(len(fg_s), dtype=bool)
+            new_row[1:] = fg_s[1:] != fg_s[:-1]
+            pos = np.arange(len(fg_s)) - np.maximum.accumulate(
+                np.where(new_row, np.arange(len(fg_s)), 0)
+            )
+            row_start = pos
+        for f in range(n_fields):
+            rows = fg_s * n_fields + f
+            cols = bg_s + f * m
+            idx[rows, row_start] = cols
+            val[rows, row_start] = w_s
+        return cls(jnp.asarray(idx), jnp.asarray(val), n_bg)
+
+    @classmethod
+    def from_exop_csv(
+        cls, paths, n_fg_nodes: int, n_fields: int = 1
+    ) -> "ExtractionOperator":
+        """Load ExOp_Cons.csv triples (readExOp parity, common.py:645-712).
+
+        Ids in the files are 1-based Exodus ids (common.py:699-703); since this
+        framework adopts Exodus node ids as dof ids, the map is id-1.
+        """
+        from iifea_tpu.mesh.io import read_exop_triples
+
+        tri = read_exop_triples(paths)
+        fg = tri[:, 0].astype(np.int64) - 1
+        bg = tri[:, 1].astype(np.int64) - 1
+        w = tri[:, 2]
+        ok = fg >= 0
+        return cls.from_triples(
+            fg[ok], bg[ok], w[ok], n_fg_nodes, n_fields=n_fields
+        )
+
+    @classmethod
+    def identity(cls, n_nodes: int, n_fields: int = 1) -> "ExtractionOperator":
+        """Identity extraction: the fitted-FEM sanity path (--Ex False,
+        poisson.py:178-181; getIdentity, common.py:254-258)."""
+        n = n_nodes * n_fields
+        idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+        val = jnp.ones((n, 1), dtype=jnp.float64)
+        return cls(idx, val, n)
+
+    # -- pytree protocol ------------------------------------------------------
+
+    def tree_flatten(self):
+        leaves = (self._d_idx, self._d_val, self._t_perm, self._t_ids)
+        aux = (self.n_bg_dofs, self.n_fg_dofs)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        d_idx, d_val, t_perm, t_ids = leaves
+        obj = object.__new__(cls)
+        obj.idx = d_idx
+        obj.val = d_val
+        obj.n_bg_dofs, obj.n_fg_dofs = aux
+        obj._t_perm, obj._t_ids = t_perm, t_ids
+        obj._d_idx, obj._d_val = d_idx, d_val
+        return obj
+
+    # -- operators ------------------------------------------------------------
+
+    def mv(self, u_b: jnp.ndarray) -> jnp.ndarray:
+        """u_f = M u_b (transferToForeground, common.py:123-140)."""
+        return (self._d_val * u_b[self._d_idx]).sum(axis=-1)
+
+    def rmv(self, r_f: jnp.ndarray) -> jnp.ndarray:
+        """r_b = Mᵀ r_f (AT_x, la_utils.py:143-163)."""
+        data = (self._d_val * r_f[:, None]).ravel()[self._t_perm]
+        return jax.ops.segment_sum(
+            data,
+            self._t_ids,
+            num_segments=self.n_bg_dofs,
+            indices_are_sorted=True,
+        )
+
+    def row_blocks(self, node_dofs: jnp.ndarray):
+        """Gather ELL rows for given fg dof ids: returns (idx, val) blocks."""
+        return self._d_idx[node_dofs], self._d_val[node_dofs]
+
+    # -- host-side export -------------------------------------------------------
+
+    def to_scipy(self):
+        """CSR copy for the host direct-solve path (MUMPS-role, SURVEY N5)."""
+        import scipy.sparse as sp
+
+        idx = np.asarray(self._d_idx)
+        val = np.asarray(self._d_val)
+        rows = np.repeat(np.arange(self.n_fg_dofs), idx.shape[1])
+        mat = sp.coo_matrix(
+            (val.ravel(), (rows, idx.ravel())),
+            shape=(self.n_fg_dofs, self.n_bg_dofs),
+        )
+        return mat.tocsr()

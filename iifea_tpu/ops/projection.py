@@ -1,0 +1,179 @@
+"""Galerkin projection onto the background basis: A_b = Mᵀ A_f M.
+
+The reference materializes the projected matrix with two PETSc MatMatMults
+(AT_R_A, la_utils.py:165-182). On TPU the product path is matrix-free:
+``A_b x = Mᵀ(A_f(M x))`` composed from the extraction ELL ops and the batched
+element-block matvec — three bandwidth-bound, shape-static device passes.
+
+What still needs explicit structure:
+* the diagonal of A_b (Jacobi preconditioning, BFR trimming — common.py:207-332):
+  computed exactly on device, per element block, chunked to bound memory;
+* the full A_b in CSR on host for the sparse direct path (the 'mumps' role,
+  common.py:525-551): exported once via scipy's sparse triple product.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.ops.assembly import Form
+from iifea_tpu.ops.extraction import ExtractionOperator
+
+
+class BackgroundOperator:
+    """The linearized background operator dR_b (optionally BFR-trimmed).
+
+    With a trim mask t (basis-function removal, trimNodes common.py:261-332),
+    application reproduces PETSc ``zeroRows``: trimmed rows become identity
+    rows, other rows keep their (untrimmed) column entries.
+    """
+
+    def __init__(
+        self,
+        form: Form,
+        blocks: list[jnp.ndarray],
+        M: ExtractionOperator,
+        trim_mask: jnp.ndarray | None = None,
+    ):
+        self.form = form
+        self.blocks = blocks
+        self.M = M
+        self.n = M.n_bg_dofs
+        self.trim_mask = trim_mask
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = self.M.rmv(self.form.matvec(self.blocks, self.M.mv(x)))
+        if self.trim_mask is not None:
+            y = jnp.where(self.trim_mask, x, y)
+        return y
+
+    def mv_t(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Transpose application (Golub-Kahan condition estimation).
+
+        With trimming, the transpose of row-substitution zeroes the trimmed
+        *columns* of Aᵀ and keeps unit diagonals.
+        """
+        xi = x if self.trim_mask is None else jnp.where(self.trim_mask, 0.0, x)
+        y = self.M.rmv(self.form.matvec_t(self.blocks, self.M.mv(xi)))
+        if self.trim_mask is not None:
+            y = y + jnp.where(self.trim_mask, x, 0.0)
+        return y
+
+    def with_trim(self, mask) -> "BackgroundOperator":
+        return BackgroundOperator(self.form, self.blocks, self.M, mask)
+
+    def tree_flatten(self):
+        return (self.form, self.blocks, self.M, self.trim_mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        form, blocks, M, trim_mask = children
+        obj = object.__new__(cls)
+        obj.form, obj.blocks, obj.M, obj.trim_mask = form, blocks, M, trim_mask
+        obj.n = M.n_bg_dofs
+        return obj
+
+    # -- exact diagonal -------------------------------------------------------
+
+    def diag(self, chunk: int = 65536) -> jnp.ndarray:
+        """diag(Mᵀ A_f M), exact, computed block-wise on device.
+
+        For an element block K (ne, ne) with extraction rows (idx, val) of its
+        dofs ((ne, km) each), the contribution to diag[j] is
+        sum_{a,ka,b,kb} val[a,ka] K[a,b] val[b,kb] [idx[a,ka]=j][idx[b,kb]=j].
+        """
+        d = jnp.zeros(self.n, dtype=self.blocks[0].dtype)
+        for (dom, _), K in zip(self.form.terms, self.blocks):
+            midx, mval = self.M.row_blocks(dom.flat_eldofs)  # (nE, ne, km)
+            nE = K.shape[0]
+            csize = max(min(chunk, nE), 1)
+            npad = (-nE) % csize
+            Kp = jnp.pad(K, ((0, npad), (0, 0), (0, 0)))
+            ip = jnp.pad(midx, ((0, npad), (0, 0), (0, 0)))
+            vp = jnp.pad(mval, ((0, npad), (0, 0), (0, 0)))
+            nchunks = Kp.shape[0] // csize
+            Kc = Kp.reshape(nchunks, csize, *K.shape[1:])
+            ic = ip.reshape(nchunks, csize, *midx.shape[1:])
+            vc = vp.reshape(nchunks, csize, *mval.shape[1:])
+
+            def body(acc, args):
+                Kc, ic, vc = args
+                eq = ic[:, :, :, None, None] == ic[:, None, None, :, :]
+                # T[e,a,ka] = val[a,ka] * sum_{b,kb} K[a,b] val[b,kb] eq
+                T = jnp.einsum(
+                    "eab,eaKbL,ebL->eaK", Kc, eq.astype(Kc.dtype), vc
+                ) * vc
+                acc = acc + jax.ops.segment_sum(
+                    T.reshape(-1), ic.reshape(-1), num_segments=self.n
+                )
+                return acc, None
+
+            partial, _ = jax.lax.scan(body, jnp.zeros(self.n, K.dtype), (Kc, ic, vc))
+            d = d + partial
+        if self.trim_mask is not None:
+            d = jnp.where(self.trim_mask, 1.0, d)
+        return d
+
+    # -- explicit export (direct-solver path) ---------------------------------
+
+    def to_scipy(self):
+        """Explicit A_b as scipy CSR via Mᵀ A_f M (host; the PtAP of
+        la_utils.py:165-182). Used by the sparse-LU 'direct' solver."""
+        import scipy.sparse as sp
+
+        n_fg = self.form.n_dofs
+        mats = []
+        for (dom, _), K in zip(self.form.terms, self.blocks):
+            fl = np.asarray(dom.flat_eldofs)
+            ne = fl.shape[1]
+            rows = np.repeat(fl, ne, axis=1).ravel()
+            cols = np.tile(fl, (1, ne)).ravel()
+            mats.append(
+                sp.coo_matrix(
+                    (np.asarray(K).ravel(), (rows, cols)), shape=(n_fg, n_fg)
+                )
+            )
+        A_f = sum(mats[1:], mats[0]).tocsr()
+        Msp = self.M.to_scipy()
+        A_b = (Msp.T @ A_f @ Msp).tocsr()
+        if self.trim_mask is not None:
+            mask = np.asarray(self.trim_mask)
+            A_b = _zero_rows_scipy(A_b, np.where(mask)[0])
+        return A_b
+
+
+jax.tree_util.register_pytree_node_class(BackgroundOperator)
+
+
+def _zero_rows_scipy(A, rows):
+    """PETSc MatZeroRows semantics: zero the rows, put 1 on the diagonal."""
+    import scipy.sparse as sp
+
+    A = A.tolil()
+    for r in rows:
+        A.rows[r] = [int(r)]
+        A.data[r] = [1.0]
+    return A.tocsr()
+
+
+def assemble_background_system(
+    form: Form,
+    u_f: jnp.ndarray,
+    M: ExtractionOperator,
+    aux=None,
+    params=None,
+    rhs_sign: float = -1.0,
+):
+    """assembleLinearSystemBackground parity (common.py:142-163).
+
+    Returns (A_b operator, b_b) for the linearization around ``u_f``:
+    A_b = Mᵀ (dR/du) M, b_b = Mᵀ (rhs_sign * R(u_f)). Demos use rhs_sign=-1
+    (solve J du = -R) or +1 inside Newton (J du = R, update u -= du), matching
+    the reference call sites (poisson.py:203, common.py:435).
+    """
+    blocks = form.jacobian_blocks(u_f, aux, params)
+    res = form.residual(u_f, aux, params)
+    A = BackgroundOperator(form, blocks, M)
+    b = M.rmv(rhs_sign * res)
+    return A, b

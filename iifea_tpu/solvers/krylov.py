@@ -1,0 +1,268 @@
+"""Matrix-free Krylov solvers, jit-compiled for TPU.
+
+Replaces PETSc KSP (solveKSP, common.py:509-641; SURVEY.md §2.3 N4). All
+solvers take ``matvec`` as a traced closure, run fixed-shape
+``lax.while_loop`` iterations, and support a left/right preconditioner closure
+``minv`` (Jacobi and friends live in precond.py — the reference's ASM/ICC/ILU
+hypre options have no TPU analog and are documented substitutions).
+
+Convergence test matches the reference's KSP settings (common.py:628-635):
+``||r|| < max(rtol * ||b||, atol)`` with a nonzero initial guess.
+
+Each solver returns ``(x, info)`` with info = SolveInfo(iters, resnorm,
+converged).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveInfo(NamedTuple):
+    iters: jnp.ndarray
+    resnorm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _tol(b, rtol, atol):
+    return jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+
+
+def _identity(x):
+    return x
+
+
+def cg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    minv: Callable | None = None,
+    rtol: float = 1e-8,
+    atol: float = 1e-9,
+    max_it: int = 10000,
+):
+    """Preconditioned conjugate gradients (KSPCG parity, common.py:561-562)."""
+    minv = minv or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tol = _tol(b, rtol, atol)
+
+    r0 = b - matvec(x0)
+    z0 = minv(r0)
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+
+    def cond(s):
+        x, r, z, p, rz, it = s
+        return (jnp.linalg.norm(r) > tol) & (it < max_it)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    rn = jnp.linalg.norm(r)
+    return x, SolveInfo(it, rn, rn <= tol)
+
+
+def bicgstab(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    minv: Callable | None = None,
+    rtol: float = 1e-8,
+    atol: float = 1e-9,
+    max_it: int = 10000,
+):
+    """BiCGStab for the nonsymmetric Nitsche variants."""
+    minv = minv or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tol = _tol(b, rtol, atol)
+    r0 = b - matvec(x0)
+    rhat = r0
+    state = (x0, r0, r0, jnp.ones(()), jnp.ones(()), jnp.ones(()),
+             jnp.zeros_like(b), jnp.zeros_like(b), jnp.asarray(0))
+
+    def cond(s):
+        x, r, *_ , it = s
+        return (jnp.linalg.norm(r) > tol) & (it < max_it)
+
+    def body(s):
+        x, r, rh, rho, alpha, omega, v, p, it = s
+        rho_new = jnp.vdot(rh, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = minv(p)
+        v = matvec(phat)
+        alpha = rho_new / jnp.vdot(rh, v)
+        s_vec = r - alpha * v
+        shat = minv(s_vec)
+        t = matvec(shat)
+        omega = jnp.vdot(t, s_vec) / jnp.vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s_vec - omega * t
+        return (x, r, rh, rho_new, alpha, omega, v, p, it + 1)
+
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    rn = jnp.linalg.norm(r)
+    return x, SolveInfo(it, rn, rn <= tol)
+
+
+def _gmres_cycle(matvec, minv, b, x0, m, tol):
+    """One restart cycle of right-preconditioned GMRES; returns (x, resnorm)."""
+    n = b.shape[0]
+    dtype = b.dtype
+    r0 = b - matvec(x0)
+    beta = jnp.linalg.norm(r0)
+
+    V = jnp.zeros((m + 1, n), dtype)
+    V = V.at[0].set(r0 / jnp.where(beta > 0, beta, 1.0))
+    H = jnp.zeros((m + 1, m), dtype)
+    cs = jnp.zeros(m, dtype)
+    sn = jnp.zeros(m, dtype)
+    g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+    def arnoldi(j, carry):
+        V, H, cs, sn, g = carry
+        w = matvec(minv(V[j]))
+        # modified Gram-Schmidt; un-filled rows of V are zero => no-ops
+        h = V @ w
+        w = w - V.T @ h
+        # re-orthogonalize once (classical DGKS) for robustness in f32
+        h2 = V @ w
+        w = w - V.T @ h2
+        h = h + h2
+        hn = jnp.linalg.norm(w)
+        H = H.at[:, j].set(h)
+        H = H.at[j + 1, j].set(hn)
+        V = V.at[j + 1].set(
+            jnp.where(hn > 1e-300, w / jnp.where(hn > 0, hn, 1.0), 0.0)
+        )
+
+        # apply accumulated Givens rotations to the new column
+        def rot(i, col):
+            a = cs[i] * col[i] + sn[i] * col[i + 1]
+            bb = -sn[i] * col[i] + cs[i] * col[i + 1]
+            return col.at[i].set(a).at[i + 1].set(bb)
+
+        col = jax.lax.fori_loop(0, j, rot, H[:, j])
+        denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
+        c = jnp.where(denom > 0, col[j] / jnp.where(denom > 0, denom, 1.0), 1.0)
+        s = jnp.where(denom > 0, col[j + 1] / jnp.where(denom > 0, denom, 1.0), 0.0)
+        cs = cs.at[j].set(c)
+        sn = sn.at[j].set(s)
+        col = col.at[j].set(denom).at[j + 1].set(0.0)
+        H = H.at[:, j].set(col)
+        g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+        return (V, H, cs, sn, g)
+
+    V, H, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, H, cs, sn, g))
+
+    # solve the triangular system R y = g (guard exhausted directions)
+    R = H[:m, :m]
+    diag = jnp.diag(R)
+    bad = jnp.abs(diag) < 1e-300
+    R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
+    gm = jnp.where(bad, 0.0, g[:m])
+    y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
+    dx = minv(V[:m].T @ y)
+    x = x0 + dx
+    return x, jnp.abs(g[m])
+
+
+def gmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    minv: Callable | None = None,
+    rtol: float = 1e-8,
+    atol: float = 1e-9,
+    max_it: int = 10000,
+    restart: int = 100,
+):
+    """Restarted (F)GMRES (the reference's default 'gmres' => KSPFGMRES,
+    common.py:557-558, restart 300 common.py:574). With a constant
+    preconditioner, right-preconditioned GMRES and FGMRES coincide."""
+    minv = minv or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tol = _tol(b, rtol, atol)
+    max_cycles = max(max_it // max(restart, 1) + 1, 1)
+
+    def cond(s):
+        x, rn, it = s
+        return (rn > tol) & (it < max_cycles)
+
+    def body(s):
+        x, rn, it = s
+        x, rn = _gmres_cycle(matvec, minv, b, x, restart, tol)
+        return (x, rn, it + 1)
+
+    r0n = jnp.linalg.norm(b - matvec(x0))
+    x, rn, cycles = jax.lax.while_loop(cond, body, (x0, r0n, jnp.asarray(0)))
+    return x, SolveInfo(cycles * restart, rn, rn <= tol)
+
+
+def gcr(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    minv: Callable | None = None,
+    rtol: float = 1e-8,
+    atol: float = 1e-9,
+    max_it: int = 10000,
+    restart: int = 30,
+):
+    """GCR(restart) (KSPGCR parity, common.py:559-560)."""
+    minv = minv or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tol = _tol(b, rtol, atol)
+    n = b.shape[0]
+    dtype = b.dtype
+    max_cycles = max(max_it // max(restart, 1) + 1, 1)
+
+    def cycle(x):
+        r = b - matvec(x)
+        P = jnp.zeros((restart, n), dtype)
+        AP = jnp.zeros((restart, n), dtype)
+
+        def inner(j, carry):
+            x, r, P, AP = carry
+            p = minv(r)
+            Ap = matvec(p)
+            # orthogonalize Ap against previous AP (zeros are no-ops)
+            coeff = AP @ Ap
+            p = p - P.T @ coeff
+            Ap = Ap - AP.T @ coeff
+            norm = jnp.linalg.norm(Ap)
+            inv = jnp.where(norm > 0, 1.0 / jnp.where(norm > 0, norm, 1.0), 0.0)
+            p = p * inv
+            Ap = Ap * inv
+            alpha = jnp.vdot(Ap, r)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            P = P.at[j].set(p)
+            AP = AP.at[j].set(Ap)
+            return (x, r, P, AP)
+
+        x, r, _, _ = jax.lax.fori_loop(0, restart, inner, (x, r, P, AP))
+        return x, jnp.linalg.norm(r)
+
+    def cond(s):
+        x, rn, it = s
+        return (rn > tol) & (it < max_cycles)
+
+    def body(s):
+        x, rn, it = s
+        x, rn = cycle(x)
+        return (x, rn, it + 1)
+
+    r0n = jnp.linalg.norm(b - matvec(x0))
+    x, rn, cycles = jax.lax.while_loop(cond, body, (x0, r0n, jnp.asarray(0)))
+    return x, SolveInfo(cycles * restart, rn, rn <= tol)

@@ -1,0 +1,94 @@
+"""solveKSP parity: one front-end for all background linear solves.
+
+Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
+
+  method 'gmres' -> restarted (F)GMRES      (jit, on device)
+         'cg'    -> preconditioned CG        (jit, on device)
+         'gcr'   -> GCR(restart)             (jit, on device)
+         'bicgstab'                          (jit, on device)
+         'mumps'/'direct' -> host sparse LU  (SuperLU; SURVEY N5 substitution)
+  pc     'jacobi' (exact diagonal of Mᵀ A_f M), 'none'
+         ('ASM'/'ICC'/'ILU'/'ILUT' are accepted and degrade to 'jacobi' with a
+          warning: incomplete factorizations are inherently sequential and have
+          no TPU-native analog.)
+"""
+from __future__ import annotations
+
+import warnings
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.ops.projection import BackgroundOperator
+from iifea_tpu.solvers import krylov, precond
+from iifea_tpu.solvers.direct import solve_direct
+from iifea_tpu.solvers.trim import apply_trim_rhs, trim_mask_from_diag
+
+_NO_TPU_PC = {"ASM", "ICC", "ILU", "ILUT"}
+
+
+@partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
+def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
+    minv = precond.jacobi(diag) if pc == "jacobi" else None
+    kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+    if method == "cg":
+        return krylov.cg(A.mv, b, x0, **kw)
+    if method == "bicgstab":
+        return krylov.bicgstab(A.mv, b, x0, **kw)
+    if method == "gcr":
+        return krylov.gcr(A.mv, b, x0, restart=restart, **kw)
+    return krylov.gmres(A.mv, b, x0, restart=restart, **kw)
+
+
+def solve_ksp(
+    A: BackgroundOperator,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    method: str = "gmres",
+    pc: str = "jacobi",
+    rtol: float = 1e-8,
+    atol: float = 1e-9,
+    max_it: int = 1000000,
+    gmres_restart: int = 300,
+    bfr_tol: float | None = None,
+    bfr_b: bool = True,
+    monitor: bool = True,
+):
+    """Solve A u = b on the background space. Returns (u, info|None)."""
+    method = method or "gmres"
+    pc = pc or "jacobi"
+    if pc in _NO_TPU_PC:
+        warnings.warn(
+            f"preconditioner '{pc}' has no TPU-native analog; using 'jacobi' "
+            "(see solvers/precond.py)", stacklevel=2
+        )
+        pc = "jacobi"
+
+    if bfr_tol is not None:
+        # remove_zero_diagonal path of solveKSP (common.py:529-533, 565-566)
+        diag0 = A.diag()
+        mask = trim_mask_from_diag(diag0, bfr_tol)
+        A = A.with_trim(mask)
+        if bfr_b:
+            b = apply_trim_rhs(b, mask)
+
+    if method in ("mumps", "direct"):
+        A_sp = A.to_scipy()
+        u = solve_direct(A_sp, np.asarray(b))
+        return jnp.asarray(u), None
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    diag = A.diag() if pc == "jacobi" else jnp.ones_like(b)
+    x, info = _krylov_solve(
+        A, b, x0, diag,
+        jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
+        int(max_it), method, pc, int(gmres_restart),
+    )
+    if monitor:
+        print(
+            f"Converged in {int(info.iters)} iterations. "
+            f"(residual norm {float(info.resnorm):.3e})"
+        )
+    return x, info

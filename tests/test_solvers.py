@@ -1,0 +1,83 @@
+"""Krylov solvers against dense references on random SPD / nonsymmetric systems."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iifea_tpu.solvers import krylov
+from iifea_tpu.solvers.direct import solve_direct
+from iifea_tpu.solvers.precond import jacobi
+
+
+def make_spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((n, n))
+    A = B @ B.T + n * np.eye(n)
+    return jnp.asarray(A), rng
+
+
+@pytest.mark.parametrize("method", ["cg", "gmres", "gcr", "bicgstab"])
+def test_spd_solve(method):
+    A, rng = make_spd(40)
+    b = jnp.asarray(rng.standard_normal(40))
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    solver = getattr(krylov, method)
+    x, info = solver(lambda v: A @ v, b, rtol=1e-12, atol=1e-14)
+    assert bool(info.converged)
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["gmres", "gcr", "bicgstab"])
+def test_nonsymmetric_solve(method):
+    rng = np.random.default_rng(3)
+    n = 35
+    A = np.eye(n) * 5 + rng.standard_normal((n, n)) * 0.5
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(A, b)
+    Aj = jnp.asarray(A)
+    solver = getattr(krylov, method)
+    x, info = solver(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-12, atol=1e-14)
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-7)
+
+
+def test_jacobi_preconditioning_reduces_iterations():
+    rng = np.random.default_rng(5)
+    n = 60
+    d = 10.0 ** rng.uniform(-2, 2, n)
+    A = np.diag(d) + 0.01 * np.eye(n)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    _, info_plain = krylov.cg(lambda v: Aj @ v, b, rtol=1e-10, max_it=5000)
+    minv = jacobi(jnp.asarray(np.diag(A)))
+    x, info_pc = krylov.cg(lambda v: Aj @ v, b, minv=minv, rtol=1e-10)
+    assert int(info_pc.iters) < int(info_plain.iters)
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, np.asarray(b)), atol=1e-7)
+
+
+def test_gmres_restart_cycles():
+    A, rng = make_spd(50, seed=7)
+    b = jnp.asarray(rng.standard_normal(50))
+    x, info = krylov.gmres(lambda v: A @ v, b, restart=10, rtol=1e-11)
+    assert np.allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), atol=1e-7
+    )
+
+
+def test_direct_null_pivot_handling():
+    import scipy.sparse as sp
+
+    # matrix with an empty (unsupported) row/col: direct solve must not fail
+    A = np.array([[2.0, 1.0, 0.0], [1.0, 3.0, 0.0], [0.0, 0.0, 0.0]])
+    b = np.array([1.0, 2.0, 5.0])
+    x = solve_direct(sp.csr_matrix(A), b)
+    assert np.allclose(A[:2, :2] @ x[:2], b[:2])
+    assert x[2] == 0.0
+
+
+def test_nonzero_initial_guess():
+    A, rng = make_spd(20, seed=9)
+    b = jnp.asarray(rng.standard_normal(20))
+    x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    x0 = jnp.asarray(x_ref + 1e-3 * rng.standard_normal(20))
+    x, info = krylov.cg(lambda v: A @ v, b, x0=x0, rtol=1e-12)
+    assert int(info.iters) < 15
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-8)
