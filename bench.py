@@ -1,0 +1,239 @@
+#!/usr/bin/env python3
+"""Headline benchmark (BASELINE.md north star).
+
+Immersed Poisson on a synthetic MORIS-style cut square: assemble + Galerkin
+projection (Mᵀ A_f M, matrix-free) + Jacobi-PCG at >= 1M background DOFs on
+one TPU chip, to < 1e-10 relative (f64) residual, vs the reference-equivalent
+CPU pipeline (scipy CSR assemble + PtAP + Jacobi-PCG — the same algorithm
+FEniCS+PETSc runs, minus MPI), executed in a subprocess on this host.
+
+Precision strategy (TPU has no native f64): the hot CG loop runs in f32;
+mixed-precision iterative refinement recomputes the residual with an
+f64-assembled operator (emulated f64, a few passes) and re-solves the
+correction in f32, converging to < 1e-10 relative f64 residual. All casts
+happen host-side (the axon remote-compile tunnel makes per-array device casts
+pathologically slow).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu seconds>, "unit": "s", "vs_baseline": <cpu/tpu>}
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
+
+
+def fg_of(n_bg):
+    return int(n_bg * 1.4142) // 2 * 2
+
+
+def build_problem(n_bg: int, dtype):
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+
+    mesh_f, M = immersed_square_problem(
+        n_fg=fg_of(n_bg), n_bg=n_bg, degree=1, dtype=dtype
+    )
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10, dtype=dtype)
+    return mesh_f, prob, M
+
+
+def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
+    import jax
+    import jax.numpy as jnp
+    from iifea_tpu.ops.projection import BackgroundOperator
+    from iifea_tpu.solvers import krylov
+    from iifea_tpu.solvers.precond import jacobi
+
+    t0 = time.time()
+    mesh_f, prob32, M32 = build_problem(n_bg, np.float32)
+    _, prob64, M64 = build_problem(n_bg, np.float64)
+    form32, form64 = prob32.form, prob64.form
+    t_setup = time.time() - t0
+
+    # form/M enter as pytree ARGUMENTS: closure capture would bake them into
+    # the graph as multi-GB constants and blow up the remote compile.
+    @jax.jit
+    def assemble32(form, M, u):
+        blocks = form.jacobian_blocks(u)
+        A = BackgroundOperator(form, blocks, M)
+        return blocks, A.diag()
+
+    @jax.jit
+    def assemble64(form, M, u):
+        blocks = form.jacobian_blocks(u)
+        b = M.rmv(-form.residual(u))
+        return blocks, b
+
+    @jax.jit
+    def cg32(form, M, blocks, r, d, x0):
+        A = BackgroundOperator(form, blocks, M)
+        return krylov.cg(
+            A.mv, r, x0=x0, minv=jacobi(d), rtol=1e-6, atol=1e-30,
+            max_it=20000,
+        )
+
+    @jax.jit
+    def residual64(form, M, blocks64, b64, x64):
+        A64 = BackgroundOperator(form, blocks64, M)
+        r = b64 - A64.mv(x64)
+        return r, jnp.linalg.norm(r) / jnp.linalg.norm(b64)
+
+    u32 = jnp.zeros(prob32.space.n_dofs, jnp.float32)
+    u64 = jnp.zeros(prob64.space.n_dofs, jnp.float64)
+
+    @jax.jit
+    def cast32(r64):
+        return r64.astype(jnp.float32)
+
+    @jax.jit
+    def accum(x64, dx):
+        return x64 + dx.astype(jnp.float64)
+
+    def full_solve():
+        blocks32, d32 = assemble32(form32, M32, u32)
+        blocks64, b64 = assemble64(form64, M64, u64)
+        x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
+        relres = 1.0
+        iters = 0
+        for _ in range(10):
+            r64, rr = residual64(form64, M64, blocks64, b64, x64)
+            relres = float(rr)
+            if relres < rtol:
+                break
+            dx, info = cg32(
+                form32, M32, blocks32, cast32(r64), d32,
+                jnp.zeros(M32.n_bg_dofs, jnp.float32),
+            )
+            iters += int(info.iters)
+            x64 = accum(x64, dx)
+        return x64, relres, iters
+
+    t0 = time.time()
+    x64, relres, iters = full_solve()
+    jax.block_until_ready(x64)
+    t_first = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        x64, relres, iters = full_solve()
+        jax.block_until_ready(x64)
+        times.append(time.time() - t0)
+
+    out = {
+        "t_setup_host": round(t_setup, 3),
+        "t_first_incl_compile": round(t_first, 3),
+        "t_best": round(min(times), 4),
+        "rel_residual_f64": relres,
+        "cg_iters": iters,
+        "n_bg_dofs": int(M32.n_bg_dofs),
+        "n_cells": int(mesh_f.n_cells),
+        "device": str(jax.devices()[0]),
+    }
+    if verbose:
+        print("tpu:", json.dumps(out), file=sys.stderr)
+    return out
+
+
+def run_cpu_baseline(n_bg: int, rtol: float = 1e-10):
+    """Reference-equivalent CPU pipeline (runs under IIFEA_PLATFORM=cpu)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    import jax.numpy as jnp
+
+    mesh_f, prob, M = build_problem(n_bg, np.float64)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = [np.asarray(b) for b in prob.form.jacobian_blocks(u0)]
+    rhs_f = -np.asarray(prob.form.residual(u0))
+
+    t0 = time.time()
+    n_fg_dofs = prob.space.n_dofs
+    mats = []
+    for (dom, _), K in zip(prob.form.terms, blocks):
+        fl = np.asarray(dom.flat_eldofs)
+        ne = fl.shape[1]
+        rows = np.repeat(fl, ne, axis=1).ravel()
+        cols = np.tile(fl, (1, ne)).ravel()
+        mats.append(
+            sp.coo_matrix((K.ravel(), (rows, cols)),
+                          shape=(n_fg_dofs, n_fg_dofs))
+        )
+    A_f = sum(mats[1:], mats[0]).tocsr()
+    Msp = M.to_scipy()
+    A_b = (Msp.T @ A_f @ Msp).tocsr()
+    b_b = Msp.T @ rhs_f
+    t_assemble = time.time() - t0
+
+    t0 = time.time()
+    d = A_b.diagonal()
+    d[np.abs(d) < 1e-300] = 1.0
+    Pinv = sp.diags(1.0 / d)
+    x, _ = spla.cg(A_b, b_b, rtol=rtol, atol=0.0, M=Pinv, maxiter=40000)
+    t_solve = time.time() - t0
+    relres = float(np.linalg.norm(b_b - A_b @ x) / np.linalg.norm(b_b))
+    return {
+        "t_assemble_project": round(t_assemble, 3),
+        "t_solve": round(t_solve, 3),
+        "t_total": round(t_assemble + t_solve, 3),
+        "rel_residual": relres,
+        "n_bg_dofs": int(A_b.shape[0]),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bg", type=int, default=1024)
+    p.add_argument("--rtol", type=float, default=1e-10)
+    p.add_argument("--rebaseline", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--cpu-baseline-only", action="store_true",
+                   help="internal: run the CPU baseline and print JSON")
+    args = p.parse_args()
+
+    if args.cpu_baseline_only:
+        print(json.dumps(run_cpu_baseline(args.n_bg, args.rtol)))
+        return
+
+    tpu = run_tpu(args.n_bg, args.rtol, args.verbose)
+
+    key = f"n{args.n_bg}"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        cache = json.load(open(BASELINE_CACHE))
+    if args.rebaseline or key not in cache:
+        env = dict(os.environ, IIFEA_PLATFORM="cpu")
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cpu-baseline-only", "--n-bg", str(args.n_bg),
+             "--rtol", str(args.rtol)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        cache[key] = json.loads(res.stdout.strip().splitlines()[-1])
+        cache[key]["recorded_on"] = os.uname().nodename
+        json.dump(cache, open(BASELINE_CACHE, "w"), indent=1)
+    base = cache[key]
+    if args.verbose:
+        print("cpu:", json.dumps(base), file=sys.stderr)
+
+    value = tpu["t_best"]
+    vs = base["t_total"] / value if value > 0 else 0.0
+    print(json.dumps({
+        "metric": f"immersed_poisson_assemble_project_cg_{tpu['n_bg_dofs']}dofs",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""2D/3D biharmonic with Nitsche BCs — parity with reference demos/biharmonic.py
+(same flags, same printed report, same CSV schema).
+
+    python3 demos/biharmonic.py --ref 3 --dim 2
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from iifea_tpu.mesh.io import read_mesh
+from iifea_tpu.models.biharmonic import BiharmonicProblem
+from iifea_tpu.ops.extraction import ExtractionOperator
+from iifea_tpu.ops.projection import assemble_background_system
+from iifea_tpu.solvers import solve_ksp, solve_newtons_linear
+from iifea_tpu.utils.logging import log_info
+
+
+def str2bool(v):
+    return str(v) not in ("False", "false", "0")
+
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--dim', dest='dimension', default=2,
+                    help='Problem dimension (2 or 3).')
+parser.add_argument('--ref', dest='ref', default='3',
+                    help='Refinement level, (0,6) 2D, (0,4) 3D')
+parser.add_argument('--sym', dest='symmetric', default=False,
+                    help='True for symmetric Nitsche; False for nonsymmetric')
+parser.add_argument('--solv', dest='solv', default='gmres',
+                    help='Linear solver')
+parser.add_argument('--pc', dest='pc', default='jacobi',
+                    help='Preconditioner for linear solver')
+parser.add_argument('--wf', dest='wf', default=False,
+                    help='write output data to file')
+parser.add_argument('--of', dest='of', default='biharmonic_error.csv',
+                    help='output data file')
+parser.add_argument('--b', dest='beta_val', default=5, help='Beta penalty')
+parser.add_argument('--a', dest='alpha_val', default=5, help='alpha penalty')
+parser.add_argument('--ft', dest='ft', default=1e-5,
+                    help='cell volume filtering tolerance')
+parser.add_argument('--mesh-root', dest='mesh_root',
+                    default=os.environ.get("IIFEA_MESH_ROOT",
+                                           "/root/reference/meshes"))
+args = parser.parse_args()
+
+dim = int(args.dimension)
+ref = args.ref
+symmetric = str2bool(args.symmetric)
+write_file = str2bool(args.wf)
+ft = float(args.ft)
+
+sub = 'square' if dim == 2 else 'cube'
+path = os.path.join(args.mesh_root, sub, f"Quadratic/R{ref}")
+mesh_f = read_mesh(path)
+dim = mesh_f.dim
+
+prob = BiharmonicProblem(
+    mesh_f, sym=symmetric, beta_value=float(args.beta_val),
+    alpha_value=float(args.alpha_val), filter_tol=ft,
+)
+
+M = ExtractionOperator.from_exop_csv(
+    os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes
+)
+
+u0 = jnp.zeros(prob.space.n_dofs)
+dR_b, R_b = assemble_background_system(prob.form, u0, M)
+
+if dim == 3:
+    # defect-correction Newton against finite-precision blowup
+    # (biharmonic.py:230-231)
+    u_p = solve_newtons_linear(
+        prob.form, u0, M, jnp.zeros(M.n_bg_dofs), max_iters=20,
+        relative_tolerance=1e-12, linear_method='direct',
+    )
+else:
+    u_p, _ = solve_ksp(dR_b, R_b, method='direct', monitor=True)  # :233-236
+
+u_f = M.mv(u_p)
+norms = prob.error_norms(u_f)
+
+if write_file:
+    with open(args.of, 'a') as f:  # schema: biharmonic.py:288-292
+        f.write("\n")
+        f.write(f"{ref},{norms['L2_rel']},{norms['H1_rel']},"
+                f"{norms['H2_rel']},{args.alpha_val},{args.beta_val}")
+
+log_info('-' * 40)
+log_info(f"L2 norm: {norms['L2']}")
+log_info(f"H1 norm: {norms['H1']}")
+log_info(f"H2 norm: {norms['H2']}")
+log_info(f"relative L2 norm: {norms['L2_rel']}")
+log_info(f"relative H1 norm: {norms['H1_rel']}")
+log_info(f"relative H2 norm: {norms['H2_rel']}")
+log_info('-' * 40)

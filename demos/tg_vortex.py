@@ -1,0 +1,117 @@
+"""2D Taylor-Green vortex, VMS-stabilized unsteady Navier-Stokes — parity with
+reference demos/tg_vortex.py (same flags, printed report, CSV schema).
+
+    python3 demos/tg_vortex.py --k 1 --ref 1
+"""
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from iifea_tpu.api import l2_project
+from iifea_tpu.mesh.io import read_mesh
+from iifea_tpu.models.navier_stokes import TaylorGreenProblem, u_exact
+from iifea_tpu.ops.extraction import ExtractionOperator
+from iifea_tpu.solvers import solve_nonlinear
+from iifea_tpu.utils.logging import log_info
+
+
+def str2bool(v):
+    return str(v) not in ("False", "false", "0")
+
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--k', dest='k', default=1,
+                    help='Polynomial degree (1 or 2).')
+parser.add_argument('--ref', dest='ref', default='0',
+                    help='Refinement level, integers in (0,6) for 2D')
+parser.add_argument('--Re', dest='Re', default=100.0, help='Reynolds number.')
+parser.add_argument('--T', dest='T', default=1.0,
+                    help='Length of time interval to consider.')
+parser.add_argument('--sym', dest='symmetric', default=False,
+                    help='True for symmetric Nitsche; False for nonsymmetric')
+parser.add_argument('--wf', dest='wf', default=False,
+                    help='write output to file')
+parser.add_argument('--of', dest='of', default='error_data_tg.csv',
+                    help='output file to write error data to')
+parser.add_argument('--mesh-root', dest='mesh_root',
+                    default=os.environ.get("IIFEA_MESH_ROOT",
+                                           "/root/reference/meshes"))
+args = parser.parse_args()
+
+k = int(args.k)
+ref = args.ref
+Re_num = float(args.Re)
+T = float(args.T)
+symmetric = str2bool(args.symmetric)
+write_file = str2bool(args.wf)
+
+deg = 'Linear' if k == 1 else 'Quadratic'
+path = os.path.join(args.mesh_root, f"square/{deg}/R{ref}")
+mesh_f = read_mesh(path)
+
+# Midpoint stepping, space-time quasi-uniformity (tg_vortex.py:267-273)
+N = math.sqrt(mesh_f.n_cells)
+Dt_approx = 4 / N
+N_STEPS = int(np.ceil(T / Dt_approx))
+Dt = T / N_STEPS
+
+fileName = os.path.join(path, "ExOp_Cons.csv")
+
+prob = TaylorGreenProblem(mesh_f, k=k, Re=Re_num, Dt=Dt, sym=symmetric)
+M = ExtractionOperator.from_exop_csv(fileName, prob.space.n_nodes, n_fields=3)
+prob = TaylorGreenProblem(
+    mesh_f, k=k, Re=Re_num, Dt=Dt, sym=symmetric, n_bg_dofs=M.n_bg_dofs
+)
+
+# Project the initial condition (tg_vortex.py:293-297)
+nu = prob.nu
+
+
+def ic_expr(x):
+    u = u_exact(x, nu, 0.0)
+    return jnp.array([u[0], u[1], 0.0])
+
+
+up_p, up_old_f = l2_project(ic_expr, prob.space, prob.cell_dom, M)
+up_f = up_old_f
+
+t = 0.0
+for step in range(N_STEPS):
+    log_info(f"======= Time step {step+1}/{N_STEPS} =======")
+    t += 0.5 * Dt
+    up_p, up_f = solve_nonlinear(
+        prob.form, up_f, M, up_p,
+        aux={"up_old": up_old_f},
+        params={"t": jnp.asarray(t)},
+        max_iters=10,
+        linear_method='gmres',
+        monitor_newton=True,
+        monitor_linear=False,
+        relative_tolerance=5e-4,
+        relax_param=1.0,
+        absolute_tolerance=1e-4,
+        absolute_tolerance_res=1e-5,
+    )                                          # tg_vortex.py:332-338
+    up_old_f = up_f
+    t += 0.5 * Dt
+
+norms = prob.error_norms(up_f, t)
+
+if write_file:
+    with open(args.of, 'a') as f:  # schema: tg_vortex.py:362-365
+        f.write("\n")
+        f.write(f"{ref},{norms['L2u']},{norms['H1u']},{norms['L2p']},"
+                f"{norms['H1p']},{k},{fileName},{Re_num},{N_STEPS}")
+
+log_info('-' * 40)
+log_info(f"L2 velocity error: {norms['L2u']}")
+log_info(f"H1 velocity error: {norms['H1u']}")
+log_info(f"L2 pressure error: {norms['L2p']}")
+log_info(f"H1 pressure error: {norms['H1p']}")
+log_info('-' * 40)

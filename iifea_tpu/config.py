@@ -27,6 +27,11 @@ def setup(enable_x64: bool = True) -> None:
     if _CONFIGURED:
         return
     jax.config.update("jax_enable_x64", bool(enable_x64))
+    # escape hatch: the axon sitecustomize pins jax_platforms to the TPU
+    # plugin; IIFEA_PLATFORM=cpu forces host execution (used by tests/dev).
+    plat = os.environ.get("IIFEA_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     _CONFIGURED = True
 
 

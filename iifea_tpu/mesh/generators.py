@@ -130,7 +130,7 @@ def generate_unfitted_mesh(
 
 def transfer_matrix_simplex(
     mesh_b: Mesh, points: np.ndarray, degree: int = 1, n_fields: int = 1,
-    tol: float = 1e-10,
+    tol: float = 1e-10, dtype=np.float64,
 ) -> ExtractionOperator:
     """Lagrange interpolation matrix from a simplex background space to points.
 
@@ -166,7 +166,7 @@ def transfer_matrix_simplex(
     keep = mask & (np.abs(v) > 1e-14)
     return ExtractionOperator.from_triples(
         rows[keep], cols.ravel()[keep], v[keep],
-        n_fg_nodes=npts, n_bg_nodes=Vb.n_nodes, n_fields=n_fields,
+        n_fg_nodes=npts, n_bg_nodes=Vb.n_nodes, n_fields=n_fields, dtype=dtype,
     )
 
 
@@ -258,6 +258,7 @@ def immersed_square_problem(
     half_width: float = 0.6,
     degree: int = 1,
     n_fields: int = 1,
+    dtype=np.float64,
 ):
     """Synthetic analog of the reference's square meshes at arbitrary scale.
 
@@ -285,6 +286,7 @@ def immersed_square_problem(
 
     Vf = FunctionSpace(mesh_f, degree=degree, n_fields=1)
     M = transfer_matrix_simplex(
-        mesh_b, np.asarray(Vf.node_coords), degree=degree, n_fields=n_fields
+        mesh_b, np.asarray(Vf.node_coords), degree=degree, n_fields=n_fields,
+        dtype=dtype,
     )
     return mesh_f, M

@@ -1,0 +1,308 @@
+"""Unsteady incompressible Navier-Stokes, VMS/SUPS-stabilized equal-order
+u-u-p (the VarMINT formulation), immersed weak Dirichlet BCs.
+
+Weak-form parity with demos/tg_vortex.py:
+
+  interiorResidualIM (:96-123):
+      ∫ [ ρ DuDt·v + σ(u,p):∇v + div(u) q
+          − (u·∇v + ∇q/ρ)·u′ − p′ div(v)
+          + v·(u′·∇u) − ∇v:(u′⊗u′)/ρ ] dx
+      u′ = −τ_M r_M,  p′ = −τ_C r_C,
+      r_M = ρ DuDt − div σ,  r_C = ρ div u   (:79-84)
+      τ_M = 1/sqrt(u·Gu + C_I ν² G:G + C_t/Δt² + ε),  τ_C = 1/(τ_M tr G) (:125-140)
+  weakDirichletBCIM (:50-73):
+      −(σ(u⁺,p⁺)n⁺·v⁺ + ρ min(u⁺·n⁺,0)(u⁺−g)·v⁺)
+      − sgn σ(v⁺,−sgn q⁺)n⁺·(u⁺−g)
+      [+ C_pen μ sqrt(n·Gn)(u⁺−g)·v⁺ if sym|overPenalize]
+
+Midpoint time integration (tg_vortex.py:267-280): velocity arguments are
+u_mid = (u + u_old)/2, pressure is current, u_t = (u − u_old)/Δt. The exact
+Taylor-Green fields (:30-48) supply BC data g(t) and the error norms.
+
+The solution vector packs 3 scalar fields per node (MixedElement([QE,QE,QE]),
+:236-238); the old state enters as an aux field, time as a traced parameter
+(one compile for the whole time loop).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.mesh.core import FunctionSpace, Mesh
+from iifea_tpu.ops.assembly import (
+    Form,
+    Term,
+    build_cell_domain,
+    build_facet_domain,
+    integrate,
+)
+
+EPS = 2.220446049250313e-16  # DOLFIN_EPS (:135)
+
+
+def u_ic(x):
+    """Taylor-Green initial velocity (tg_vortex.py:30-35)."""
+    return jnp.array(
+        [
+            jnp.sin(x[0]) * jnp.cos(x[1]),
+            -jnp.cos(x[0]) * jnp.sin(x[1]),
+        ]
+    )
+
+
+def u_exact(x, nu, t):
+    return jnp.exp(-2.0 * nu * t) * u_ic(x)
+
+
+def p_exact(x, nu, rho, t):
+    return rho * 0.25 * jnp.exp(-4.0 * nu * t) * (
+        jnp.cos(2 * x[1]) + jnp.cos(2 * x[0])
+    )
+
+
+class TaylorGreenProblem:
+    """Builds the VMS residual Form; params = {'t': t} (traced per step)."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int = 1,
+        Re: float = 100.0,
+        Dt: float = 0.1,
+        G_scale: float = None,
+        C_I: float = 60.0,
+        C_t: float = 4.0,
+        C_pen: float = 10.0,
+        sym: bool = False,
+        block_id: int = 2,
+        surf_id: int = 3,
+        n_bg_dofs: int | None = None,
+        dtype=None,
+    ):
+        if dtype is None:
+            dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        self.mesh = mesh
+        self.space = FunctionSpace(mesh, degree=k, n_fields=3)
+        self.rho = 1.0
+        self.mu = 1.0 / Re
+        self.nu = self.mu / self.rho
+        self.Dt = float(Dt)
+        self.sgn = 1.0 if sym else -1.0
+        self.sym = bool(sym)
+        self.C_I, self.C_t, self.C_pen = float(C_I), float(C_t), float(C_pen)
+        # user cell metric G_b = 4 ave_h^-2 I with ave_h from the TOTAL
+        # background dof count, as the reference does (tg_vortex.py:298-305)
+        if G_scale is None:
+            m = n_bg_dofs or self.space.n_dofs
+            ave_h = m ** (-k / mesh.dim)
+            G_scale = 4.0 * ave_h ** (-2)
+        self.G_scale = float(G_scale)
+
+        qd = 3 * k  # QUAD_DEG (:180)
+        cells = np.where(mesh.material == block_id)[0]
+        fclass = mesh.classify_facets_by_material()
+        facets = np.where(fclass == surf_id)[0]
+        self.cell_dom = build_cell_domain(
+            self.space, cells, qd, with_hessian=(k == 2), dtype=dtype
+        )
+        self.facet_dom = build_facet_domain(
+            self.space, facets, qd, with_hessian=(k == 2), dtype=dtype
+        )
+        self.form = Form(
+            self.space,
+            [
+                Term(self.cell_dom, self._cell_kernel()),
+                Term(self.facet_dom, self._facet_kernel()),
+            ],
+        )
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _tau(self, u_mid):
+        """(τ_M, τ_C) with G = G_scale·I (tg_vortex.py:125-140)."""
+        G = self.G_scale
+        nu = self.nu
+        dim = self.mesh.dim
+        denom2 = (
+            G * (u_mid @ u_mid)
+            + self.C_I * nu * nu * (G * G * dim)
+            + EPS
+            + self.C_t / self.Dt**2
+        )
+        tau_M = 1.0 / jnp.sqrt(denom2)
+        tau_C = 1.0 / (tau_M * G * dim)
+        return tau_M, tau_C
+
+    def _cell_kernel(self):
+        rho, mu = self.rho, self.mu
+        Dt = self.Dt
+
+        def kern(u_loc, aux_loc, ctx, params):
+            old = aux_loc["up_old"]
+            nb = u_loc.shape[0]
+
+            def at_q(phi_q, gphi_q, hess_q, w_q):
+                # interpolate current/old states
+                Uc = phi_q @ u_loc          # (3,)
+                Uo = phi_q @ old
+                gUc = jnp.einsum("bd,bf->fd", gphi_q, u_loc)   # (3, dim)
+                gUo = jnp.einsum("bd,bf->fd", gphi_q, old)
+                u = 0.5 * (Uc[:2] + Uo[:2])                    # midpoint vel
+                gu = 0.5 * (gUc[:2] + gUo[:2])
+                p = Uc[2]
+                gp = gUc[2]
+                u_t = (Uc[:2] - Uo[:2]) / Dt
+
+                tau_M, tau_C = self._tau(u)
+                DuDt = u_t + gu @ u                            # u·∇u (nabla_grad)
+                # div σ(u,p) with second derivatives (0 for P1)
+                if hess_q is not None:
+                    Hc = jnp.einsum("bde,bf->fde", hess_q, u_loc)
+                    Ho = jnp.einsum("bde,bf->fde", hess_q, old)
+                    Hu = 0.5 * (Hc[:2] + Ho[:2])               # (2, dim, dim)
+                    lap_u = jnp.einsum("fdd->f", Hu)
+                    grad_div = jnp.einsum("dfd->f", Hu.transpose(1, 0, 2))
+                    div_sig = mu * (lap_u + grad_div) - gp
+                else:
+                    div_sig = -gp
+                r_M = rho * DuDt - div_sig
+                r_C = rho * jnp.trace(gu)
+                uP = -tau_M * r_M
+                pP = -tau_C * r_C
+
+                sig = 2.0 * mu * 0.5 * (gu + gu.T) - p * jnp.eye(2)
+
+                # test-function contractions, v = φ_b e_f (f<2), q = φ_b e_2
+                r = jnp.zeros((nb, 3), u_loc.dtype)
+                # ρ DuDt·v + σ:∇v
+                r = r.at[:, :2].add(
+                    rho * jnp.einsum("b,f->bf", phi_q, DuDt)
+                    + jnp.einsum("fd,bd->bf", sig, gphi_q)
+                )
+                # div(u) q
+                r = r.at[:, 2].add(jnp.trace(gu) * phi_q)
+                # −(u·∇v)·u′ : ∇v[f,d]=e_f ∂φ/∂x_d → (u·∇v)_f = (∇φ·u) e_f
+                r = r.at[:, :2].add(
+                    -jnp.einsum("b,f->bf", gphi_q @ u, uP)
+                )
+                # −(∇q/ρ)·u′
+                r = r.at[:, 2].add(-(gphi_q @ uP) / rho)
+                # −p′ div(v) = −p′ ∂φ/∂x_f
+                r = r.at[:, :2].add(-pP * gphi_q)
+                # + v·(u′·∇u) : (u′·∇u)_f = Σ_d u′_d ∂u_f/∂x_d... careful:
+                # nabla_grad convention: dot(uPrime, nabla_grad(u))_f = u′_d ∂_d u_f
+                # with gu[f,d] = ∂u_f/∂x_d -> (gu @ uP)
+                r = r.at[:, :2].add(jnp.einsum("b,f->bf", phi_q, gu @ uP))
+                # − ∇v:(u′⊗u′)/ρ : ∇v[f,d] outer(uP,uP)[f,d]
+                r = r.at[:, :2].add(
+                    -jnp.einsum("bd,f,d->bf", gphi_q, uP, uP) / rho
+                )
+                return w_q * r
+
+            hess = ctx.hess
+            nq = ctx.phi.shape[0]
+            out = jnp.zeros((nb, 3), u_loc.dtype)
+            for q in range(nq):
+                out = out + at_q(
+                    ctx.phi[q], ctx.gphi[q],
+                    None if hess is None else ctx.hess[q], ctx.w[q],
+                )
+            return out
+
+        return kern
+
+    def _facet_kernel(self):
+        rho, mu, nu = self.rho, self.mu, self.nu
+        sgn, C_pen = self.sgn, self.C_pen
+        penalize = self.sym  # overPenalize=False in the demo (:318)
+        G = self.G_scale
+
+        def kern(u_loc, aux_loc, ctx, params):
+            t = params["t"]
+            old = aux_loc["up_old"]
+            n = ctx.n
+            nb = u_loc.shape[0]
+
+            def at_q(phi_q, gphi_q, w_q, x_q):
+                Uc = phi_q @ u_loc
+                Uo = phi_q @ old
+                gUc = jnp.einsum("bd,bf->fd", gphi_q, u_loc)
+                gUo = jnp.einsum("bd,bf->fd", gphi_q, old)
+                u = 0.5 * (Uc[:2] + Uo[:2])
+                gu = 0.5 * (gUc[:2] + gUo[:2])
+                p = Uc[2]
+                g = u_exact(x_q, nu, t)
+                umg = u - g
+
+                sig = 2.0 * mu * 0.5 * (gu + gu.T) - p * jnp.eye(2)
+                traction = sig @ n
+                un = u @ n
+                inflow = rho * jnp.minimum(un, 0.0)
+
+                gphin = gphi_q @ n                     # (nb,)
+                r = jnp.zeros((nb, 3), u_loc.dtype)
+                # consistency: −(traction·v + inflow (u−g)·v)  (:61-63)
+                r = r.at[:, :2].add(
+                    -jnp.einsum("b,f->bf", phi_q, traction + inflow * umg)
+                )
+                # adjoint consistency: −sgn σ(v,−sgn q)n·(u−g)  (:67)
+                # viscous part, v = φ_b e_f:
+                #   σ(v)n·(u−g) = μ[(∇φ_b·n) umg_f + (∇φ_b·umg) n_f]
+                r = r.at[:, :2].add(
+                    -sgn * mu * (
+                        jnp.einsum("b,f->bf", gphin, umg)
+                        + jnp.einsum("b,f->bf", gphi_q @ umg, n)
+                    )
+                )
+                # pressure-test part: σ(·,−sgn q)n = +sgn q n, so the term is
+                # −sgn · sgn q (n·umg) = −q (n·umg)  ("negative for stability,
+                # regardless of sym", tg_vortex.py:66-67)
+                r = r.at[:, 2].add(-(n @ umg) * phi_q)
+                if penalize:
+                    pen = C_pen * mu * jnp.sqrt(G * (n @ n))
+                    r = r.at[:, :2].add(
+                        pen * jnp.einsum("b,f->bf", phi_q, umg)
+                    )
+                return w_q * r
+
+            nq = ctx.phi.shape[0]
+            out = jnp.zeros((nb, 3), u_loc.dtype)
+            for q in range(nq):
+                out = out + at_q(ctx.phi[q], ctx.gphi[q], ctx.w[q], ctx.x[q])
+            return out
+
+        return kern
+
+    # -- error norms (tg_vortex.py:345-353) ------------------------------------
+
+    def error_norms(self, up_f, t):
+        nu, rho = self.nu, self.rho
+
+        def vel_err(u_loc, aux_loc, ctx, params):
+            uq = jnp.einsum("qb,bf->qf", ctx.phi, u_loc)[:, :2]
+            ge = jax.vmap(lambda x: u_exact(x, nu, t))(ctx.x)
+            return jnp.einsum("q,qf->", ctx.w, (uq - ge) ** 2)
+
+        def vel_grad_err(u_loc, aux_loc, ctx, params):
+            gu = jnp.einsum("qbd,bf->qfd", ctx.gphi, u_loc)[:, :2, :]
+            gex = jax.vmap(jax.jacfwd(lambda x: u_exact(x, nu, t)))(ctx.x)
+            return jnp.einsum("q,qfd->", ctx.w, (gu - gex) ** 2)
+
+        def p_err(u_loc, aux_loc, ctx, params):
+            pq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 2])
+            pex = jax.vmap(lambda x: p_exact(x, nu, rho, t))(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, (pq - pex) ** 2)
+
+        def p_grad_err(u_loc, aux_loc, ctx, params):
+            gp = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 2])
+            gpex = jax.vmap(jax.grad(lambda x: p_exact(x, nu, rho, t)))(ctx.x)
+            return jnp.einsum("q,qd->", ctx.w, (gp - gpex) ** 2)
+
+        cd = self.cell_dom
+        return {
+            "L2u": float(jnp.sqrt(integrate(cd, vel_err, up_f, n_fields=3))),
+            "H1u": float(jnp.sqrt(integrate(cd, vel_grad_err, up_f, n_fields=3))),
+            "L2p": float(jnp.sqrt(integrate(cd, p_err, up_f, n_fields=3))),
+            "H1p": float(jnp.sqrt(integrate(cd, p_grad_err, up_f, n_fields=3))),
+        }

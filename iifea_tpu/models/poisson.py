@@ -65,6 +65,7 @@ class PoissonProblem:
         quad_degree: int | None = None,
         u_exact=None,
         f=None,
+        dtype=None,
     ):
         self.mesh = mesh
         self.space = FunctionSpace(mesh, degree=k, n_fields=1)
@@ -76,11 +77,16 @@ class PoissonProblem:
         self.u_ex = u_exact or u_exact_fn(mesh.dim)
         self.f = f or source_fn(self.u_ex)
 
+        import jax
+
+        if dtype is None:
+            dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        self.dtype = dtype
         cells = np.where(mesh.material == block_id)[0]
         fclass = mesh.classify_facets_by_material()
         facets = np.where(fclass == surf_id)[0]
-        self.cell_dom = build_cell_domain(self.space, cells, qd)
-        self.facet_dom = build_facet_domain(self.space, facets, qd)
+        self.cell_dom = build_cell_domain(self.space, cells, qd, dtype=dtype)
+        self.facet_dom = build_facet_domain(self.space, facets, qd, dtype=dtype)
         self.form = Form(
             self.space,
             [

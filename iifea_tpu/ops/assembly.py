@@ -88,8 +88,8 @@ class CellDomain:
     phi: jnp.ndarray          # (nq, nb) static table
     gphi_ref: jnp.ndarray     # (nq, nb, dim)
     hess_ref: jnp.ndarray     # (nq, nb, dim, dim)
-    scat_perm: jnp.ndarray    # (nE*nb*nF,)
-    scat_ids: jnp.ndarray     # (nE*nb*nF,) sorted target dof ids
+    scat_gidx: jnp.ndarray    # (n_dofs, Kmax) transpose-gather indices (+1,
+                              # 0 = padding) — scatter-free assembly
 
     def ctx(self) -> CellCtx:
         gphi = jnp.einsum("qbd,Ede->Eqbe", self.gphi_ref, self.Jinv)
@@ -116,8 +116,7 @@ class FacetDomain:
     xq: jnp.ndarray           # (nF, nq, dim)
     h: jnp.ndarray            # (nF,) plus-cell diameter
     normal: jnp.ndarray       # (nF, dim) outward unit normal of plus cell
-    scat_perm: jnp.ndarray
-    scat_ids: jnp.ndarray
+    scat_gidx: jnp.ndarray
 
     def ctx(self) -> FacetCtx:
         hess = self.hess if self.hess.size else None
@@ -126,13 +125,32 @@ class FacetDomain:
         )
 
 
-def _scatter_cache(flat_eldofs: np.ndarray):
+def _scatter_cache(flat_eldofs: np.ndarray, n_dofs: int):
+    """Transpose-gather index table: scatter-add as a pure gather+row-sum.
+
+    TPU scatters serialize; instead, for each output dof we precompute the
+    (padded) list of positions in the flattened per-element residual array
+    that contribute to it. Device-side accumulation is then
+    ``concat([0], data)[gidx].sum(-1)`` — gathers and a small reduction, the
+    fast path on the VPU. Index 0 is the zero sentinel (stored indices are
+    shifted by +1).
+    """
     ids = flat_eldofs.ravel()
-    perm = np.argsort(ids, kind="stable")
-    return (
-        jnp.asarray(perm.astype(np.int64 if ids.size > 2**31 else np.int32)),
-        jnp.asarray(ids[perm].astype(np.int32)),
-    )
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    counts = np.bincount(ids, minlength=n_dofs)
+    kmax = max(int(counts.max()) if counts.size else 1, 1)
+    starts = np.zeros(n_dofs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
+    gidx = np.zeros((n_dofs, kmax), dtype=np.int32)
+    gidx[sorted_ids, pos] = (order + 1).astype(np.int32)
+    return jnp.asarray(gidx)
+
+
+def gather_scatter(gidx: jnp.ndarray, data_flat: jnp.ndarray) -> jnp.ndarray:
+    padded = jnp.concatenate([jnp.zeros(1, data_flat.dtype), data_flat])
+    return padded[gidx].sum(axis=-1)
 
 
 def build_cell_domain(
@@ -140,6 +158,7 @@ def build_cell_domain(
     cell_ids: np.ndarray,
     quad_degree: int,
     with_hessian: bool = False,
+    dtype=np.float64,
 ) -> CellDomain:
     mesh = space.mesh
     dim = mesh.dim
@@ -161,20 +180,21 @@ def build_cell_domain(
     xq = np.einsum("qv,Evd->Eqd", bary, verts)
     eldofs = np.asarray(space.cell_dofs)[cell_ids]
     fl = flat_dofs(eldofs, space.n_fields)
-    perm, ids = _scatter_cache(fl)
-    return CellDomain(
+    gidx = _scatter_cache(fl, space.n_dofs)
+    dom = CellDomain(
         eldofs=jnp.asarray(eldofs),
         flat_eldofs=jnp.asarray(fl),
-        Jinv=jnp.asarray(Jinv),
-        wdet=jnp.asarray(wdet),
-        xq=jnp.asarray(xq),
-        h=jnp.asarray(mesh.cell_diameters[cell_ids]),
-        phi=jnp.asarray(phi),
-        gphi_ref=jnp.asarray(gphi_ref),
-        hess_ref=jnp.asarray(hess_ref),
-        scat_perm=perm,
-        scat_ids=ids,
+        Jinv=jnp.asarray(Jinv.astype(dtype)),
+        wdet=jnp.asarray(wdet.astype(dtype)),
+        xq=jnp.asarray(xq.astype(dtype)),
+        h=jnp.asarray(mesh.cell_diameters[cell_ids].astype(dtype)),
+        phi=jnp.asarray(phi.astype(dtype)),
+        gphi_ref=jnp.asarray(gphi_ref.astype(dtype)),
+        hess_ref=jnp.asarray(hess_ref.astype(dtype)),
+        scat_gidx=gidx,
     )
+    dom.flat_eldofs_np = fl  # host copy: avoids device downloads in setup paths
+    return dom
 
 
 def build_facet_domain(
@@ -182,6 +202,7 @@ def build_facet_domain(
     facet_ids: np.ndarray,
     quad_degree: int,
     with_hessian: bool = False,
+    dtype=np.float64,
 ) -> FacetDomain:
     """Builds the '+'-restricted facet domain for interior-facet (dS) or
     exterior-facet (ds) measures.
@@ -266,20 +287,21 @@ def build_facet_domain(
     w = fwq[None, :] * meas[:, None]
     eldofs = np.asarray(space.cell_dofs)[plus_cell]
     fl = flat_dofs(eldofs, space.n_fields)
-    perm, ids = _scatter_cache(fl)
-    return FacetDomain(
+    gidx = _scatter_cache(fl, space.n_dofs)
+    dom = FacetDomain(
         eldofs=jnp.asarray(eldofs),
         flat_eldofs=jnp.asarray(fl),
-        phi=jnp.asarray(phi),
-        gphi=jnp.asarray(gphi),
-        hess=jnp.asarray(hess),
-        w=jnp.asarray(w),
-        xq=jnp.asarray(xq),
-        h=jnp.asarray(mesh.cell_diameters[plus_cell]),
-        normal=jnp.asarray(nrm),
-        scat_perm=perm,
-        scat_ids=ids,
+        phi=jnp.asarray(phi.astype(dtype)),
+        gphi=jnp.asarray(gphi.astype(dtype)),
+        hess=jnp.asarray(hess.astype(dtype)),
+        w=jnp.asarray(w.astype(dtype)),
+        xq=jnp.asarray(xq.astype(dtype)),
+        h=jnp.asarray(mesh.cell_diameters[plus_cell].astype(dtype)),
+        normal=jnp.asarray(nrm.astype(dtype)),
+        scat_gidx=gidx,
     )
+    dom.flat_eldofs_np = fl
+    return dom
 
 
 # -- residual / jacobian / operator application ------------------------------
@@ -326,11 +348,7 @@ class Form:
         return vec[domain.flat_eldofs].reshape(nE, nb, self.n_fields)
 
     def _scatter(self, domain, r_loc, out_size):
-        data = r_loc.reshape(-1)[domain.scat_perm]
-        return jax.ops.segment_sum(
-            data, domain.scat_ids, num_segments=out_size,
-            indices_are_sorted=True,
-        )
+        return gather_scatter(domain.scat_gidx, r_loc.reshape(-1))
 
     def residual(self, u, aux=None, params=None):
         aux = aux or {}

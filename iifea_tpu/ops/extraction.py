@@ -30,25 +30,38 @@ class ExtractionOperator:
     """Sparse M of shape (n_fg_dofs, n_bg_dofs) in padded ELL rows."""
 
     def __init__(self, idx, val, n_bg_dofs, _device_cache=None):
-        self.idx = idx
-        self.val = val
+        """idx/val should be numpy arrays (device downloads through the axon
+        tunnel pay a per-shape compile cost — construction stays host-pure)."""
+        self.idx_np = np.asarray(idx)
+        self.val_np = np.asarray(val)
+        self.idx = self.idx_np
+        self.val = self.val_np
         self.n_bg_dofs = int(n_bg_dofs)
-        self.n_fg_dofs = int(idx.shape[0])
+        self.n_fg_dofs = int(self.idx_np.shape[0])
         if _device_cache is None:
             _device_cache = self._build_transpose_cache()
-        (self._t_perm, self._t_ids, self._d_idx, self._d_val) = _device_cache
+        (self._t_gidx, _unused, self._d_idx, self._d_val) = _device_cache
 
     # -- construction --------------------------------------------------------
 
     def _build_transpose_cache(self):
-        idx = np.asarray(self.idx)
-        val = np.asarray(self.val)
-        flat_ids = idx.ravel()
-        perm = np.argsort(flat_ids, kind="stable")
-        t_ids = flat_ids[perm]
+        # transpose-gather table (see ops/assembly._scatter_cache): Mᵀ as a
+        # pure gather + row-sum instead of a TPU-hostile scatter.
+        idx = self.idx_np
+        val = self.val_np
+        ids = idx.ravel()
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        counts = np.bincount(ids, minlength=self.n_bg_dofs)
+        kmax = max(int(counts.max()) if counts.size else 1, 1)
+        starts = np.zeros(self.n_bg_dofs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
+        gidx = np.zeros((self.n_bg_dofs, kmax), dtype=np.int32)
+        gidx[sorted_ids, pos] = (order + 1).astype(np.int32)
         return (
-            jnp.asarray(perm.astype(np.int32)),
-            jnp.asarray(t_ids.astype(np.int32)),
+            jnp.asarray(gidx),
+            None,
             jnp.asarray(idx),
             jnp.asarray(val),
         )
@@ -62,6 +75,7 @@ class ExtractionOperator:
         n_fg_nodes: int,
         n_bg_nodes: int | None = None,
         n_fields: int = 1,
+        dtype=np.float64,
     ) -> "ExtractionOperator":
         """Build M from 0-based (fg_node, bg_node, weight) triples.
 
@@ -86,7 +100,7 @@ class ExtractionOperator:
         counts = np.bincount(fg_nodes, minlength=n_fg_nodes)
         kmax = max(int(counts.max()) if len(counts) else 1, 1)
         idx = np.zeros((n_fg, kmax), dtype=np.int32)
-        val = np.zeros((n_fg, kmax), dtype=np.float64)
+        val = np.zeros((n_fg, kmax), dtype=dtype)
         order = np.argsort(fg_nodes, kind="stable")
         fg_s, bg_s, w_s = fg_nodes[order], bg_nodes[order], weights[order]
         # position of each entry within its row
@@ -103,11 +117,11 @@ class ExtractionOperator:
             cols = bg_s + f * m
             idx[rows, row_start] = cols
             val[rows, row_start] = w_s
-        return cls(jnp.asarray(idx), jnp.asarray(val), n_bg)
+        return cls(idx, val, n_bg)
 
     @classmethod
     def from_exop_csv(
-        cls, paths, n_fg_nodes: int, n_fields: int = 1
+        cls, paths, n_fg_nodes: int, n_fields: int = 1, dtype=np.float64
     ) -> "ExtractionOperator":
         """Load ExOp_Cons.csv triples (readExOp parity, common.py:645-712).
 
@@ -122,33 +136,36 @@ class ExtractionOperator:
         w = tri[:, 2]
         ok = fg >= 0
         return cls.from_triples(
-            fg[ok], bg[ok], w[ok], n_fg_nodes, n_fields=n_fields
+            fg[ok], bg[ok], w[ok], n_fg_nodes, n_fields=n_fields, dtype=dtype
         )
 
     @classmethod
-    def identity(cls, n_nodes: int, n_fields: int = 1) -> "ExtractionOperator":
+    def identity(cls, n_nodes: int, n_fields: int = 1, dtype=None) -> "ExtractionOperator":
         """Identity extraction: the fitted-FEM sanity path (--Ex False,
         poisson.py:178-181; getIdentity, common.py:254-258)."""
+        import jax
+
         n = n_nodes * n_fields
-        idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-        val = jnp.ones((n, 1), dtype=jnp.float64)
+        idx = np.arange(n, dtype=np.int32)[:, None]
+        fdt = dtype or (np.float64 if jax.config.jax_enable_x64 else np.float32)
+        val = np.ones((n, 1), dtype=fdt)
         return cls(idx, val, n)
 
     # -- pytree protocol ------------------------------------------------------
 
     def tree_flatten(self):
-        leaves = (self._d_idx, self._d_val, self._t_perm, self._t_ids)
+        leaves = (self._d_idx, self._d_val, self._t_gidx)
         aux = (self.n_bg_dofs, self.n_fg_dofs)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        d_idx, d_val, t_perm, t_ids = leaves
+        d_idx, d_val, t_gidx = leaves
         obj = object.__new__(cls)
         obj.idx = d_idx
         obj.val = d_val
         obj.n_bg_dofs, obj.n_fg_dofs = aux
-        obj._t_perm, obj._t_ids = t_perm, t_ids
+        obj._t_gidx = t_gidx
         obj._d_idx, obj._d_val = d_idx, d_val
         return obj
 
@@ -159,14 +176,10 @@ class ExtractionOperator:
         return (self._d_val * u_b[self._d_idx]).sum(axis=-1)
 
     def rmv(self, r_f: jnp.ndarray) -> jnp.ndarray:
-        """r_b = Mᵀ r_f (AT_x, la_utils.py:143-163)."""
-        data = (self._d_val * r_f[:, None]).ravel()[self._t_perm]
-        return jax.ops.segment_sum(
-            data,
-            self._t_ids,
-            num_segments=self.n_bg_dofs,
-            indices_are_sorted=True,
-        )
+        """r_b = Mᵀ r_f (AT_x, la_utils.py:143-163): transpose-gather."""
+        data = (self._d_val * r_f[:, None]).reshape(-1)
+        padded = jnp.concatenate([jnp.zeros(1, data.dtype), data])
+        return padded[self._t_gidx].sum(axis=-1)
 
     def row_blocks(self, node_dofs: jnp.ndarray):
         """Gather ELL rows for given fg dof ids: returns (idx, val) blocks."""
@@ -178,8 +191,8 @@ class ExtractionOperator:
         """CSR copy for the host direct-solve path (MUMPS-role, SURVEY N5)."""
         import scipy.sparse as sp
 
-        idx = np.asarray(self._d_idx)
-        val = np.asarray(self._d_val)
+        idx = self.idx_np
+        val = self.val_np
         rows = np.repeat(np.arange(self.n_fg_dofs), idx.shape[1])
         mat = sp.coo_matrix(
             (val.ravel(), (rows, idx.ravel())),

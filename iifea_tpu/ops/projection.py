@@ -125,7 +125,9 @@ class BackgroundOperator:
         n_fg = self.form.n_dofs
         mats = []
         for (dom, _), K in zip(self.form.terms, self.blocks):
-            fl = np.asarray(dom.flat_eldofs)
+            fl = getattr(dom, "flat_eldofs_np", None)
+            if fl is None:
+                fl = np.asarray(dom.flat_eldofs)
             ne = fl.shape[1]
             rows = np.repeat(fl, ne, axis=1).ravel()
             cols = np.tile(fl, (1, ne)).ravel()
