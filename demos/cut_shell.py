@@ -1,0 +1,108 @@
+"""Kirchhoff-Love shell: cut 'bent tab' geometry under a uniform follower
+pressure, 100 load steps — parity with reference demos/cut_shell.py
+(same flags plus --steps for shortened runs; same tracker-point CSVs).
+
+    python3 demos/cut_shell.py --ref 5
+"""
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from iifea_tpu.mesh.io import read_mesh
+from iifea_tpu.models.kl_shell import KLShellProblem
+from iifea_tpu.ops.extraction import ExtractionOperator
+from iifea_tpu.solvers import solve_nonlinear
+from iifea_tpu.utils.logging import log_info
+
+
+def str2bool(v):
+    return str(v) not in ("False", "false", "0")
+
+
+parser = argparse.ArgumentParser()
+parser.add_argument('--ref', dest='ref', default='3',
+                    help='Refinement level, integers in (3,6)')
+parser.add_argument('--lref', dest='lref', default='0',
+                    help='Local refinement level, integers in (0,2)')
+parser.add_argument('--of', dest='of', default='False',
+                    help='Output result files')
+parser.add_argument('--steps', dest='steps', default=100,
+                    help='Number of load steps (reference: 100)')
+parser.add_argument('--mesh-root', dest='mesh_root',
+                    default=os.environ.get("IIFEA_MESH_ROOT",
+                                           "/root/reference/meshes"))
+args = parser.parse_args()
+ref = args.ref
+lref = args.lref
+generate_files = str2bool(args.of)
+N_STEPS = int(args.steps)
+
+path = os.path.join(args.mesh_root, f"bent_tab/FG_R{lref}/R{ref}")
+mesh_f = read_mesh(path)
+
+
+def bent_tab_surface(xi):
+    # parabolic initial geometry F = [ξ0, ξ1, ½(1−ξ0²)] (cut_shell.py:178)
+    return jnp.array([xi[0], xi[1], 0.5 * (1.0 - xi[0] ** 2)])
+
+
+prob = KLShellProblem(
+    mesh_f, bent_tab_surface,
+    E=3e4, nu=0.3, h_th=0.03,                     # cut_shell.py:263-267
+    pressure=2.0,                                  # :293
+    pin_alpha=1e5, pin_mode="boundary",            # :290, :312
+    pin_alpha_scale="hmin", use_jvol=True,
+)
+
+M = ExtractionOperator.from_exop_csv(
+    os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes, n_fields=3
+)
+
+# tracker points (cut_shell.py:124-127)
+circle_tip = [0.0, -0.25]
+corner_top_y = -math.sqrt(0.5**2 - 0.2**2)
+wing_top_corner = [-0.2, corner_top_y]
+wing_bottom_corner = [-0.2, -1.0]
+
+T_MAX = 1.0
+DELTA_T = T_MAX / float(N_STEPS)
+t = 0.0
+
+u_p = jnp.zeros(M.n_bg_dofs)
+u_f = jnp.zeros(prob.space.n_dofs)
+tip_hist = np.zeros((N_STEPS, 3))
+top_hist = np.zeros((N_STEPS, 3))
+bot_hist = np.zeros((N_STEPS, 3))
+
+log_info(">>> Solving load steps...")
+for i in range(N_STEPS):
+    log_info(f"------- Step: {i+1} , t = {t} -------")
+    u_p, u_f = solve_nonlinear(
+        prob.form, u_f, M, u_p,
+        params={"t": jnp.asarray(t)},
+        max_iters=100, linear_method='direct',
+        monitor_newton=False,
+    )                                              # cut_shell.py:372-374
+    t += DELTA_T
+    tip_hist[i] = prob.evaluate(u_f, [circle_tip])[0]
+    top_hist[i] = prob.evaluate(u_f, [wing_top_corner])[0]
+    bot_hist[i] = prob.evaluate(u_f, [wing_bottom_corner])[0]
+
+if generate_files:
+    os.makedirs("bent_shell_results", exist_ok=True)
+    for name, hist in (("circle_tip", tip_hist),
+                       ("wing_top_corner", top_hist),
+                       ("wing_bottom_corner", bot_hist)):
+        np.savetxt(
+            f"bent_shell_results/{name}.csv", hist, delimiter=",",
+            header="d0,d1,d2", comments="",
+        )  # cut_shell.py:403-405
+
+u_x, u_y, u_z = tip_hist[-1]
+log_info(f"Displacement at tip of tab: ( {u_x} , {u_y} , {u_z} )")
