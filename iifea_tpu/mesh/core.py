@@ -100,11 +100,15 @@ class Mesh:
 
     @cached_property
     def facet_data(self) -> FacetData:
-        """Vectorized unique-facet extraction.
+        """Unique-facet extraction: native C++ kernel (csrc/meshops.cpp) when
+        built, pure-numpy fallback of identical semantics otherwise."""
+        from iifea_tpu.mesh import _native
 
-        Uses the native C++ kernel when built (csrc/meshops.cpp), with a pure
-        numpy fallback of identical semantics.
-        """
+        nat = _native.build_facets(self.cells, self.dim)
+        if nat is not None:
+            facets, fcells, flocal = nat
+            facets = np.sort(facets, axis=1)
+            return FacetData(facets, fcells, flocal)
         local_facets = TRI_FACETS if self.dim == 2 else TET_FACETS
         nlf = local_facets.shape[0]
         # all (cell, local facet) incidences
@@ -231,7 +235,14 @@ def flat_dofs(node_ids: np.ndarray, n_fields: int) -> np.ndarray:
 
 def _number_p2(mesh: Mesh) -> tuple[np.ndarray, int]:
     """Number unique edges to create P2 node ids (vertices keep their ids)."""
+    from iifea_tpu.mesh import _native
+
     el = ReferenceElement(mesh.dim, 2)
+    nat = _native.number_edges(mesh.cells, el.edges, mesh.n_verts)
+    if nat is not None:
+        edge_ids, n_unique = nat
+        cell_dofs = np.hstack([mesh.cells, edge_ids]).astype(np.int32)
+        return cell_dofs, mesh.n_verts + n_unique
     edges = mesh.cells[:, el.edges]                 # (nc, ne, 2)
     key = np.sort(edges.reshape(-1, 2), axis=1)
     uniq, inv = np.unique(key, axis=0, return_inverse=True)

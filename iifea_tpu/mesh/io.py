@@ -82,10 +82,16 @@ def read_exop_triples(paths: str | list[str]) -> np.ndarray:
     Mirrors readExOp's file loop (common.py:649-665): whitespace-delimited,
     ids 1-based. Returns a (nnz, 3) float64 array with raw 1-based ids.
     """
+    from iifea_tpu.mesh import _native
+
     if isinstance(paths, str):
         paths = [paths]
     blocks = []
     for p in paths:
-        data = np.loadtxt(p, dtype=np.float64)
-        blocks.append(np.atleast_2d(data))
+        data = None
+        if _native.available():
+            data = _native.read_exop(p)
+        if data is None:
+            data = np.atleast_2d(np.loadtxt(p, dtype=np.float64))
+        blocks.append(data)
     return np.concatenate(blocks, axis=0)

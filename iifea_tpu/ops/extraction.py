@@ -47,9 +47,13 @@ class ExtractionOperator:
     def _build_transpose_cache(self):
         # transpose-gather table (see ops/assembly._scatter_cache): Mᵀ as a
         # pure gather + row-sum instead of a TPU-hostile scatter.
+        # ELL padding entries (val == 0, idx == 0) are excluded — otherwise
+        # background dof 0 accumulates every padded slot and the gather row
+        # width explodes.
         idx = self.idx_np
         val = self.val_np
-        ids = idx.ravel()
+        live = np.flatnonzero(val.ravel() != 0.0)
+        ids = idx.ravel()[live]
         order = np.argsort(ids, kind="stable")
         sorted_ids = ids[order]
         counts = np.bincount(ids, minlength=self.n_bg_dofs)
@@ -58,7 +62,7 @@ class ExtractionOperator:
         np.cumsum(counts[:-1], out=starts[1:])
         pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
         gidx = np.zeros((self.n_bg_dofs, kmax), dtype=np.int32)
-        gidx[sorted_ids, pos] = (order + 1).astype(np.int32)
+        gidx[sorted_ids, pos] = (live[order] + 1).astype(np.int32)
         return (
             jnp.asarray(gidx),
             None,

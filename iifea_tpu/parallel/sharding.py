@@ -44,9 +44,11 @@ def make_device_mesh(n_devices: int | None = None) -> DeviceMesh:
 
 
 def _pad_to(arr: np.ndarray, n: int):
+    arr = np.asarray(arr)
     pad = n - arr.shape[0]
     if pad == 0:
-        return arr
+        # always writable: inputs may be read-only views of device buffers
+        return np.array(arr)
     widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, widths)
 

@@ -42,30 +42,47 @@ def cg(
     rtol: float = 1e-8,
     atol: float = 1e-9,
     max_it: int = 10000,
+    check_every: int = 25,
 ):
-    """Preconditioned conjugate gradients (KSPCG parity, common.py:561-562)."""
+    """Preconditioned conjugate gradients (KSPCG parity, common.py:561-562).
+
+    Iterations run in fixed-size ``fori_loop`` chunks inside the convergence
+    ``while_loop``: the data-dependent continuation test executes once per
+    chunk, not per iteration — the hot path stays free of per-iteration
+    control-flow decisions (a lagged-norm pattern; slight over-iteration past
+    the tolerance is possible and harmless).
+    """
     minv = minv or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     tol = _tol(b, rtol, atol)
+    chunk = max(int(check_every), 1)
+    max_chunks = max(-(-int(max_it) // chunk), 1)
 
     r0 = b - matvec(x0)
     z0 = minv(r0)
     state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+
+    def step(_, s):
+        x, r, z, p, rz, it = s
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        # guard: once converged (rz -> 0 exactly is impossible, but protect
+        # against division blowups when over-iterating a solved system)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
 
     def cond(s):
         x, r, z, p, rz, it = s
         return (jnp.linalg.norm(r) > tol) & (it < max_it)
 
     def body(s):
-        x, r, z, p, rz, it = s
-        Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = minv(r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (x, r, z, p, rz_new, it + 1)
+        return jax.lax.fori_loop(0, chunk, step, s)
 
     x, r, *_, it = jax.lax.while_loop(cond, body, state)
     rn = jnp.linalg.norm(r)

@@ -1,0 +1,162 @@
+"""Model-family integration tests (fast CPU configurations).
+
+Mirrors the reference's validation style: exact-solution error norms and
+gold-value point probes (SURVEY.md §4).
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iifea_tpu.mesh.core import Mesh
+from iifea_tpu.mesh.io import read_mesh
+from iifea_tpu.ops.extraction import ExtractionOperator
+from iifea_tpu.ops.projection import assemble_background_system
+from iifea_tpu.solvers import solve_ksp, solve_nonlinear
+
+REF = "/root/reference/meshes"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference mesh artifacts not mounted"
+)
+
+
+@needs_ref
+def test_poisson_quadratic_rates():
+    from iifea_tpu.models.poisson import PoissonProblem
+
+    errs = []
+    for r in (2, 3):
+        path = f"{REF}/square/Quadratic/R{r}"
+        mesh = read_mesh(path)
+        prob = PoissonProblem(mesh, k=2, sym=True, beta_value=10)
+        M = ExtractionOperator.from_exop_csv(
+            path + "/ExOp_Cons.csv", prob.space.n_nodes
+        )
+        A, b = assemble_background_system(
+            prob.form, jnp.zeros(prob.space.n_dofs), M
+        )
+        u_p, _ = solve_ksp(A, b, method="direct", monitor=False)
+        errs.append(prob.error_norms(M.mv(u_p)))
+    # optimal k=2 rates: L2 ~ h^3, H10 ~ h^2
+    assert errs[0]["L2"] / errs[1]["L2"] > 5.5
+    assert errs[0]["H10"] / errs[1]["H10"] > 3.2
+
+
+@needs_ref
+def test_elasticity_kirsch_convergence():
+    from iifea_tpu.models.elasticity import ElasticityProblem
+
+    norms = []
+    for r in (1, 2):
+        path = f"{REF}/hole_in_plate/Linear/R{r}"
+        mesh = read_mesh(path)
+        prob = ElasticityProblem(mesh, k=1)
+        M = ExtractionOperator.from_exop_csv(
+            path + "/ExOp_Cons.csv", prob.space.n_nodes, n_fields=2
+        )
+        A, b = assemble_background_system(
+            prob.form, jnp.zeros(prob.space.n_dofs), M
+        )
+        u_p, _ = solve_ksp(A, b, method="direct", monitor=False)
+        norms.append(prob.stress_error_norm(M.mv(u_p)))
+    assert norms[0] / norms[1] > 1.7  # stress error ~ h for P1
+    assert norms[1] < 0.035
+
+
+@needs_ref
+def test_biharmonic_solves_and_converges():
+    from iifea_tpu.models.biharmonic import BiharmonicProblem
+
+    path = f"{REF}/square/Quadratic/R3"
+    mesh = read_mesh(path)
+    prob = BiharmonicProblem(mesh)
+    M = ExtractionOperator.from_exop_csv(
+        path + "/ExOp_Cons.csv", prob.space.n_nodes
+    )
+    A, b = assemble_background_system(prob.form, jnp.zeros(prob.space.n_dofs), M)
+    u_p, _ = solve_ksp(A, b, method="direct", monitor=False)
+    n = prob.error_norms(M.mv(u_p))
+    assert n["L2_rel"] < 5e-5
+    assert n["H2_rel"] < 1e-3
+
+
+@needs_ref
+def test_taylor_green_single_step():
+    from iifea_tpu.api import l2_project
+    from iifea_tpu.models.navier_stokes import TaylorGreenProblem, u_exact
+
+    path = f"{REF}/square/Linear/R1"
+    mesh = read_mesh(path)
+    Dt = 0.25
+    prob = TaylorGreenProblem(mesh, k=1, Re=100.0, Dt=Dt)
+    M = ExtractionOperator.from_exop_csv(
+        path + "/ExOp_Cons.csv", prob.space.n_nodes, n_fields=3
+    )
+    nu = prob.nu
+
+    def ic(x):
+        u = u_exact(x, nu, 0.0)
+        return jnp.array([u[0], u[1], 0.0])
+
+    up_p, up_old = l2_project(ic, prob.space, prob.cell_dom, M)
+    up_p, up_f = solve_nonlinear(
+        prob.form, up_old, M, up_p,
+        aux={"up_old": up_old}, params={"t": jnp.asarray(Dt / 2)},
+        max_iters=10, linear_method="gmres", monitor_newton=False,
+        relative_tolerance=5e-4, absolute_tolerance=1e-4,
+        absolute_tolerance_res=1e-5,
+    )
+    n = prob.error_norms(up_f, Dt)
+    assert n["L2u"] < 0.05
+    assert np.isfinite(n["L2p"])
+
+
+@needs_ref
+def test_pinned_shell_center_deflection():
+    from iifea_tpu.models.kl_shell import KLShellProblem
+
+    path = f"{REF}/square/Quadratic/R3"
+    mesh = read_mesh(path)
+
+    def flat(xi):
+        return jnp.array([xi[0], xi[1], 0.0])
+
+    prob = KLShellProblem(
+        mesh, flat, E=4.8e5, nu=0.38, h_th=0.1, areal_force=90.0,
+        pin_alpha=1e6, pin_mode="interface", pin_alpha_scale="h_facet",
+        use_jvol=False,
+    )
+    M = ExtractionOperator.from_exop_csv(
+        path + "/ExOp_Cons.csv", prob.space.n_nodes, n_fields=3
+    )
+    u_p, u_f = solve_nonlinear(
+        prob.form, jnp.zeros(prob.space.n_dofs), M, jnp.zeros(M.n_bg_dofs),
+        max_iters=10, linear_method="direct", monitor_newton=False,
+        relative_tolerance=5e-4, absolute_tolerance=1e-4,
+        absolute_tolerance_res=1e-5,
+    )
+    d = prob.evaluate(u_f, [[0.0, 0.0]])[0]
+    # pure vertical deflection, Kirchhoff-plate magnitude
+    assert abs(d[0]) < 1e-10 and abs(d[1]) < 1e-10
+    assert 0.003 < d[2] < 0.01
+
+
+@needs_ref
+def test_shell_energy_hessian_symmetry():
+    """The shell Jacobian is the energy Hessian: element blocks must be
+    symmetric (internal energy part, zero load)."""
+    from iifea_tpu.models.kl_shell import KLShellProblem
+
+    path = f"{REF}/bent_tab/FG_R0/R0"
+    mesh = read_mesh(path)
+
+    def tab(xi):
+        return jnp.array([xi[0], xi[1], 0.5 * (1 - xi[0] ** 2)])
+
+    prob = KLShellProblem(mesh, tab, pressure=0.0)
+    u = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u, params={"t": jnp.asarray(0.0)})
+    K = np.asarray(blocks[0])
+    assert np.allclose(K, np.swapaxes(K, 1, 2), atol=1e-8 * np.abs(K).max())

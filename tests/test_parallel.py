@@ -1,0 +1,97 @@
+"""Sharded execution on the virtual 8-device CPU mesh: parity with the
+single-device path (the reference's "mpirun -np N gives identical norms"
+check, SURVEY.md §4 item 4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iifea_tpu.mesh.generators import immersed_square_problem
+from iifea_tpu.models.poisson import PoissonProblem
+from iifea_tpu.ops.projection import BackgroundOperator, assemble_background_system
+from iifea_tpu.parallel.sharding import ShardedProjectedSystem, make_device_mesh
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh_f, M = immersed_square_problem(n_fg=24, n_bg=12)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    return prob, M
+
+
+@needs_devices
+def test_sharded_matvec_matches_single(setup):
+    prob, M = setup
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    A = BackgroundOperator(prob.form, blocks, M)
+
+    mesh = make_device_mesh(8)
+    S = ShardedProjectedSystem(prob.form, M, mesh)
+    sblocks = S.assemble_blocks(jnp.zeros(M.n_bg_dofs))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(M.n_bg_dofs))
+    y_ref = np.asarray(A.mv(x))
+    y_sh = np.asarray(S.matvec(sblocks, x))
+    assert np.allclose(y_sh, y_ref, atol=1e-10 * max(np.abs(y_ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_diag_matches_single(setup):
+    prob, M = setup
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    d_ref = np.asarray(BackgroundOperator(prob.form, blocks, M).diag())
+
+    mesh = make_device_mesh(8)
+    S = ShardedProjectedSystem(prob.form, M, mesh)
+    sblocks = S.assemble_blocks(jnp.zeros(M.n_bg_dofs))
+    d_sh = np.asarray(S.diag(sblocks))
+    assert np.allclose(d_sh, d_ref, atol=1e-10 * max(np.abs(d_ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_residual_matches_single(setup):
+    prob, M = setup
+    mesh = make_device_mesh(8)
+    S = ShardedProjectedSystem(prob.form, M, mesh)
+    rng = np.random.default_rng(1)
+    u_p = jnp.asarray(rng.standard_normal(M.n_bg_dofs) * 0.1)
+    r_ref = np.asarray(M.rmv(prob.form.residual(M.mv(u_p))))
+    r_sh = np.asarray(S.residual_b(u_p))
+    assert np.allclose(r_sh, r_ref, atol=1e-9 * max(np.abs(r_ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_step_solves(setup):
+    prob, M = setup
+    mesh = make_device_mesh(8)
+    S = ShardedProjectedSystem(prob.form, M, mesh)
+    step = jax.jit(S.make_step(rtol=1e-10, max_it=300))
+    u_p, resnorm = step(jnp.zeros(M.n_bg_dofs))
+    # compare against the unsharded solve
+    u0 = jnp.zeros(prob.space.n_dofs)
+    A, b = assemble_background_system(prob.form, u0, M)
+    from iifea_tpu.solvers import solve_ksp
+
+    u_ref, _ = solve_ksp(A, b, method="cg", pc="jacobi", monitor=False,
+                         rtol=1e-10)
+    assert np.allclose(np.asarray(u_p), np.asarray(u_ref), atol=1e-6)
+
+
+@needs_devices
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_device_count_invariance(setup, n_dev):
+    """Same norms regardless of partitioning — the mpirun invariance check."""
+    prob, M = setup
+    mesh = make_device_mesh(n_dev)
+    S = ShardedProjectedSystem(prob.form, M, mesh)
+    step = jax.jit(S.make_step(rtol=1e-10, max_it=300))
+    u_p, _ = step(jnp.zeros(M.n_bg_dofs))
+    e = prob.error_norms(M.mv(u_p))
+    assert abs(e["L2"] - 0.0329) < 0.02  # stable across partitionings

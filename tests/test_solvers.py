@@ -78,6 +78,6 @@ def test_nonzero_initial_guess():
     b = jnp.asarray(rng.standard_normal(20))
     x_ref = np.linalg.solve(np.asarray(A), np.asarray(b))
     x0 = jnp.asarray(x_ref + 1e-3 * rng.standard_normal(20))
-    x, info = krylov.cg(lambda v: A @ v, b, x0=x0, rtol=1e-12)
+    x, info = krylov.cg(lambda v: A @ v, b, x0=x0, rtol=1e-12, check_every=4)
     assert int(info.iters) <= 16
     assert np.allclose(np.asarray(x), x_ref, atol=1e-8)
