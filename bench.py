@@ -50,24 +50,22 @@ def build_problem(n_bg: int, dtype):
 def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from iifea_tpu.ops.projection import BackgroundOperator
+    from iifea_tpu.ops.stencil import StencilOperator2D
     from iifea_tpu.solvers import krylov
     from iifea_tpu.solvers.precond import jacobi
 
     t0 = time.time()
-    mesh_f, prob32, M32 = build_problem(n_bg, np.float32)
-    _, prob64, M64 = build_problem(n_bg, np.float64)
-    form32, form64 = prob32.form, prob64.form
+    mesh_f, prob64, M64 = build_problem(n_bg, np.float64)
+    form64 = prob64.form
+    shape = (n_bg + 1, n_bg + 1)
     t_setup = time.time() - t0
 
     # form/M enter as pytree ARGUMENTS: closure capture would bake them into
     # the graph as multi-GB constants and blow up the remote compile.
-    @jax.jit
-    def assemble32(form, M, u):
-        blocks = form.jacobian_blocks(u)
-        A = BackgroundOperator(form, blocks, M)
-        return blocks, A.diag()
-
     @jax.jit
     def assemble64(form, M, u):
         blocks = form.jacobian_blocks(u)
@@ -75,45 +73,52 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         return blocks, b
 
     @jax.jit
-    def cg32(form, M, blocks, r, d, x0):
+    def probe64(form, M, blocks):
         A = BackgroundOperator(form, blocks, M)
-        return krylov.cg(
-            A.mv, r, x0=x0, minv=jacobi(d), rtol=1e-6, atol=1e-30,
-            max_it=20000,
+        return StencilOperator2D.probe_multi(
+            A.mv_multi, shape, radius=2, dtype=jnp.float64
         )
 
     @jax.jit
-    def residual64(form, M, blocks64, b64, x64):
-        A64 = BackgroundOperator(form, blocks64, M)
-        r = b64 - A64.mv(x64)
-        return r, jnp.linalg.norm(r) / jnp.linalg.norm(b64)
-
-    u32 = jnp.zeros(prob32.space.n_dofs, jnp.float32)
-    u64 = jnp.zeros(prob64.space.n_dofs, jnp.float64)
+    def cg32(S32, r, d, tol_scale):
+        dd = jnp.where(jnp.abs(d) > 0, d, 1.0)
+        return krylov.cg(
+            S32.mv, r, minv=jacobi(dd), rtol=1e-6, atol=1e-30,
+            max_it=40000, check_every=50,
+        )
 
     @jax.jit
-    def cast32(r64):
-        return r64.astype(jnp.float32)
+    def residual64(S64, b64, x64):
+        r = b64 - S64.mv(x64)
+        return r, jnp.linalg.norm(r) / jnp.linalg.norm(b64)
+
+    @jax.jit
+    def downcast(S64, r64):
+        return S64.astype(jnp.float32), r64.astype(jnp.float32)
 
     @jax.jit
     def accum(x64, dx):
         return x64 + dx.astype(jnp.float64)
 
+    u64 = jnp.zeros(prob64.space.n_dofs, jnp.float64)
+
     def full_solve():
-        blocks32, d32 = assemble32(form32, M32, u32)
+        # phase 1: assemble + project (stencil extraction == explicit PtAP)
         blocks64, b64 = assemble64(form64, M64, u64)
+        S64 = probe64(form64, M64, blocks64)
+        S32, _ = downcast(S64, b64)
+        d32 = S32.diag()
+        # phase 2: f32 stencil-CG with f64 stencil iterative refinement
         x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
         relres = 1.0
         iters = 0
         for _ in range(10):
-            r64, rr = residual64(form64, M64, blocks64, b64, x64)
+            r64, rr = residual64(S64, b64, x64)
             relres = float(rr)
             if relres < rtol:
                 break
-            dx, info = cg32(
-                form32, M32, blocks32, cast32(r64), d32,
-                jnp.zeros(M32.n_bg_dofs, jnp.float32),
-            )
+            _, r32 = downcast(S64, r64)
+            dx, info = cg32(S32, r32, d32, 1.0)
             iters += int(info.iters)
             x64 = accum(x64, dx)
         return x64, relres, iters
@@ -121,6 +126,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     t0 = time.time()
     x64, relres, iters = full_solve()
     jax.block_until_ready(x64)
+    _ = float(jnp.linalg.norm(x64))
     t_first = time.time() - t0
 
     times = []
@@ -128,6 +134,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         t0 = time.time()
         x64, relres, iters = full_solve()
         jax.block_until_ready(x64)
+        _ = float(jnp.linalg.norm(x64))
         times.append(time.time() - t0)
 
     out = {
@@ -136,7 +143,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         "t_best": round(min(times), 4),
         "rel_residual_f64": relres,
         "cg_iters": iters,
-        "n_bg_dofs": int(M32.n_bg_dofs),
+        "n_bg_dofs": int(M64.n_bg_dofs),
         "n_cells": int(mesh_f.n_cells),
         "device": str(jax.devices()[0]),
     }

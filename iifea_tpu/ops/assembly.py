@@ -397,6 +397,18 @@ class Form:
             y = y + self._scatter(dom, ye, self.n_dofs)
         return y
 
+    def matvec_multi(self, blocks, X):
+        """Multi-RHS operator application: X (n_dofs, k) -> (n_dofs, k)."""
+        k = X.shape[1]
+        Y = jnp.zeros((self.n_dofs, k), dtype=X.dtype)
+        for (dom, _), K in zip(self.terms, blocks):
+            xe = X[dom.flat_eldofs]                       # (nE, ne, k)
+            ye = jnp.einsum("eab,ebk->eak", K, xe)
+            data = ye.reshape(-1, k)
+            padded = jnp.concatenate([jnp.zeros((1, k), data.dtype), data])
+            Y = Y + padded[dom.scat_gidx].sum(axis=1)
+        return Y
+
     def matvec_t(self, blocks, x):
         """Apply the transposed operator: y = A_fᵀ x (condition estimation)."""
         y = jnp.zeros(self.n_dofs, dtype=x.dtype)

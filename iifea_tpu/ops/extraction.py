@@ -185,6 +185,21 @@ class ExtractionOperator:
         padded = jnp.concatenate([jnp.zeros(1, data.dtype), data])
         return padded[self._t_gidx].sum(axis=-1)
 
+    # -- multi-RHS variants ---------------------------------------------------
+    # Gathering k contiguous values per index amortizes the TPU's per-index
+    # gather latency: used for stencil probing and blocked solves.
+
+    def mv_multi(self, U: jnp.ndarray) -> jnp.ndarray:
+        """(n_bg, k) -> (n_fg, k)."""
+        return jnp.einsum("rc,rck->rk", self._d_val, U[self._d_idx])
+
+    def rmv_multi(self, R: jnp.ndarray) -> jnp.ndarray:
+        """(n_fg, k) -> (n_bg, k)."""
+        k = R.shape[1]
+        data = (self._d_val[:, :, None] * R[:, None, :]).reshape(-1, k)
+        padded = jnp.concatenate([jnp.zeros((1, k), data.dtype), data])
+        return padded[self._t_gidx].sum(axis=1)
+
     def row_blocks(self, node_dofs: jnp.ndarray):
         """Gather ELL rows for given fg dof ids: returns (idx, val) blocks."""
         return self._d_idx[node_dofs], self._d_val[node_dofs]

@@ -60,6 +60,15 @@ class BackgroundOperator:
             y = y + jnp.where(self.trim_mask, x, 0.0)
         return y
 
+    def mv_multi(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Multi-RHS application (n_bg, k): amortizes gather latency."""
+        Y = self.M.rmv_multi(
+            self.form.matvec_multi(self.blocks, self.M.mv_multi(X))
+        )
+        if self.trim_mask is not None:
+            Y = jnp.where(self.trim_mask[:, None], X, Y)
+        return Y
+
     def with_trim(self, mask) -> "BackgroundOperator":
         return BackgroundOperator(self.form, self.blocks, self.M, mask)
 
