@@ -230,7 +230,8 @@ def flat_dofs(node_ids: np.ndarray, n_fields: int) -> np.ndarray:
     if n_fields == 1:
         return node_ids
     base = node_ids[..., :, None] * n_fields + np.arange(n_fields)
-    return base.reshape(*node_ids.shape[:-1], -1).astype(np.int32)
+    out_shape = node_ids.shape[:-1] + (node_ids.shape[-1] * n_fields,)
+    return base.reshape(out_shape).astype(np.int32)
 
 
 def _number_p2(mesh: Mesh) -> tuple[np.ndarray, int]:

@@ -78,6 +78,7 @@ class TaylorGreenProblem:
         block_id: int = 2,
         surf_id: int = 3,
         n_bg_dofs: int | None = None,
+        boundary_facets=None,
         dtype=None,
     ):
         if dtype is None:
@@ -101,21 +102,24 @@ class TaylorGreenProblem:
 
         qd = 3 * k  # QUAD_DEG (:180)
         cells = np.where(mesh.material == block_id)[0]
-        fclass = mesh.classify_facets_by_material()
-        facets = np.where(fclass == surf_id)[0]
+        if boundary_facets is None:
+            # immersed interface (class 3); fitted meshes (tg_unfitted) pass
+            # their true exterior boundary facets instead
+            fclass = mesh.classify_facets_by_material()
+            boundary_facets = np.where(fclass == surf_id)[0]
         self.cell_dom = build_cell_domain(
             self.space, cells, qd, with_hessian=(k == 2), dtype=dtype
         )
-        self.facet_dom = build_facet_domain(
-            self.space, facets, qd, with_hessian=(k == 2), dtype=dtype
-        )
-        self.form = Form(
-            self.space,
-            [
-                Term(self.cell_dom, self._cell_kernel()),
-                Term(self.facet_dom, self._facet_kernel()),
-            ],
-        )
+        terms = [Term(self.cell_dom, self._cell_kernel())]
+        if len(boundary_facets):
+            self.facet_dom = build_facet_domain(
+                self.space, boundary_facets, qd, with_hessian=(k == 2),
+                dtype=dtype,
+            )
+            terms.append(Term(self.facet_dom, self._facet_kernel()))
+        else:
+            self.facet_dom = None
+        self.form = Form(self.space, terms)
 
     # -- helpers ---------------------------------------------------------------
 
