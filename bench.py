@@ -53,10 +53,10 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iifea_tpu.ops.multigrid import StencilMultigrid
     from iifea_tpu.ops.projection import BackgroundOperator
     from iifea_tpu.ops.stencil import StencilOperator2D
     from iifea_tpu.solvers import krylov
-    from iifea_tpu.solvers.precond import jacobi
 
     t0 = time.time()
     mesh_f, prob64, M64 = build_problem(n_bg, np.float64)
@@ -66,11 +66,28 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
 
     # form/M enter as pytree ARGUMENTS: closure capture would bake them into
     # the graph as multi-GB constants and blow up the remote compile.
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("kern_id",))
+    def term_blocks64(dom, kern_id, u):
+        # one term's element Jacobians; separate (smaller) graphs keep the
+        # remote compile helper within its limits at the 1M-dof scale
+        from iifea_tpu.ops.assembly import Form as _F
+        sub = _F.tree_unflatten(
+            ((form64.terms[kern_id].kernel,), form64.n_dofs, form64.n_fields),
+            (dom,),
+        )
+        return sub.jacobian_blocks(u)[0]
+
     @jax.jit
+    def rhs64(form, M, u):
+        return M.rmv(-form.residual(u))
+
     def assemble64(form, M, u):
-        blocks = form.jacobian_blocks(u)
-        b = M.rmv(-form.residual(u))
-        return blocks, b
+        blocks = [
+            term_blocks64(t.domain, i, u) for i, t in enumerate(form.terms)
+        ]
+        return blocks, rhs64(form, M, u)
 
     @jax.jit
     def probe64(form, M, blocks):
@@ -80,11 +97,14 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         )
 
     @jax.jit
-    def cg32(S32, r, d, tol_scale):
-        dd = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    def build_mg(S32):
+        return StencilMultigrid(S32)
+
+    @jax.jit
+    def cg32(S32, mg, r):
         return krylov.cg(
-            S32.mv, r, minv=jacobi(dd), rtol=1e-6, atol=1e-30,
-            max_it=40000, check_every=50,
+            S32.mv, r, minv=mg.minv, rtol=1e-6, atol=1e-30,
+            max_it=500, check_every=4,
         )
 
     @jax.jit
@@ -107,8 +127,8 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         blocks64, b64 = assemble64(form64, M64, u64)
         S64 = probe64(form64, M64, blocks64)
         S32, _ = downcast(S64, b64)
-        d32 = S32.diag()
-        # phase 2: f32 stencil-CG with f64 stencil iterative refinement
+        mg = build_mg(S32)   # geometric-multigrid hierarchy (Galerkin probes)
+        # phase 2: f32 MG-PCG with f64 stencil iterative refinement
         x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
         relres = 1.0
         iters = 0
@@ -118,7 +138,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             if relres < rtol:
                 break
             _, r32 = downcast(S64, r64)
-            dx, info = cg32(S32, r32, d32, 1.0)
+            dx, info = cg32(S32, mg, r32)
             iters += int(info.iters)
             x64 = accum(x64, dx)
         return x64, relres, iters

@@ -21,9 +21,16 @@ import jax.numpy as jnp
 
 
 class SolveInfo(NamedTuple):
+    """Solver diagnostics (KSP convergence-history parity, common.py:638-641).
+
+    history holds the residual norm at each convergence check (per chunk for
+    CG, per restart cycle for GMRES/GCR), -1 for unused slots.
+    """
+
     iters: jnp.ndarray
     resnorm: jnp.ndarray
     converged: jnp.ndarray
+    history: jnp.ndarray | None = None
 
 
 def _tol(b, rtol, atol):
@@ -60,14 +67,17 @@ def cg(
 
     r0 = b - matvec(x0)
     z0 = minv(r0)
-    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+    hist0 = jnp.full(max_chunks + 1, -1.0, b.dtype).at[0].set(
+        jnp.linalg.norm(r0)
+    )
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0), hist0)
 
     def step(_, s):
-        x, r, z, p, rz, it = s
+        x, r, z, p, rz = s
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
-        # guard: once converged (rz -> 0 exactly is impossible, but protect
-        # against division blowups when over-iterating a solved system)
+        # guard: protect against division blowups when over-iterating a
+        # solved system within a chunk
         alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -75,18 +85,22 @@ def cg(
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        return (x, r, z, p, rz_new)
 
     def cond(s):
-        x, r, z, p, rz, it = s
+        x, r, z, p, rz, it, hist = s
         return (jnp.linalg.norm(r) > tol) & (it < max_it)
 
     def body(s):
-        return jax.lax.fori_loop(0, chunk, step, s)
+        x, r, z, p, rz, it, hist = s
+        x, r, z, p, rz = jax.lax.fori_loop(0, chunk, step, (x, r, z, p, rz))
+        it = it + chunk
+        hist = hist.at[it // chunk].set(jnp.linalg.norm(r))
+        return (x, r, z, p, rz, it, hist)
 
-    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    x, r, *_, it, hist = jax.lax.while_loop(cond, body, state)
     rn = jnp.linalg.norm(r)
-    return x, SolveInfo(it, rn, rn <= tol)
+    return x, SolveInfo(it, rn, rn <= tol, hist)
 
 
 def bicgstab(

@@ -91,4 +91,7 @@ def solve_ksp(
             f"Converged in {int(info.iters)} iterations. "
             f"(residual norm {float(info.resnorm):.3e})"
         )
+        if info.history is not None:
+            h = np.asarray(info.history)
+            print("Convergence history:", h[h >= 0].tolist())
     return x, info
