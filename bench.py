@@ -71,13 +71,14 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     @_partial(jax.jit, static_argnames=("kern_id",))
     def term_blocks64(dom, kern_id, u):
         # one term's element Jacobians; separate (smaller) graphs keep the
-        # remote compile helper within its limits at the 1M-dof scale
+        # remote compile helper within its limits at the 1M-dof scale, and
+        # chunked lax.map bounds the jacfwd intermediates in HBM
         from iifea_tpu.ops.assembly import Form as _F
         sub = _F.tree_unflatten(
             ((form64.terms[kern_id].kernel,), form64.n_dofs, form64.n_fields),
             (dom,),
         )
-        return sub.jacobian_blocks(u)[0]
+        return sub.jacobian_blocks(u, chunk=1 << 18)[0]
 
     @jax.jit
     def rhs64(form, M, u):
@@ -187,12 +188,13 @@ def run_cpu_baseline(n_bg: int, rtol: float = 1e-10):
     n_fg_dofs = prob.space.n_dofs
     mats = []
     for (dom, _), K in zip(prob.form.terms, blocks):
-        fl = np.asarray(dom.flat_eldofs)
+        fl = dom.flat_eldofs_np
         ne = fl.shape[1]
         rows = np.repeat(fl, ne, axis=1).ravel()
         cols = np.tile(fl, (1, ne)).ravel()
+        Kel = np.moveaxis(K, -1, 0)          # (nE, ne, ne)
         mats.append(
-            sp.coo_matrix((K.ravel(), (rows, cols)),
+            sp.coo_matrix((Kel.ravel(), (rows, cols)),
                           shape=(n_fg_dofs, n_fg_dofs))
         )
     A_f = sum(mats[1:], mats[0]).tocsr()

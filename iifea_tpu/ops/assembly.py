@@ -2,10 +2,19 @@
 
 Design (SURVEY.md §7): static mesh arrays -> vmapped per-cell / per-facet
 residual kernels (JAX autodiff supplies consistent Jacobians, replacing UFL
-``derivative``) -> pre-sorted segment-sum scatter (replacing the PETSc matrix
-stash). The global foreground matrix is never materialized on the product
-path: operators are applied as gather -> batched-block matvec -> segment-sum,
-all shape-static and jit-compiled.
+``derivative``) -> pre-sorted transpose-gather scatter (replacing the PETSc
+matrix stash). The global foreground matrix is never materialized on the
+product path: operators are applied as gather -> batched-block matvec ->
+plane-sum, all shape-static and jit-compiled.
+
+Memory layout is **struct-of-planes (SoA)**: every materialized device array
+carries the long element/dof axis as its minormost dimension. XLA:TPU tiles
+the two minor dims of every buffer to (8, 128); a row-major (nE, 3, 3) block
+array would physically become (nE, 4, 128) — a 42x HBM blowup that overflows
+the chip at bench scale (1M dofs / 1.5M cuts cells). Stored SoA, element
+blocks are (ne, ne, nE), dof tables (ne, nE), quadrature geometry
+(nq, ..., nE): dense lane-aligned planes with zero padding waste. Kernels
+are written per element and vmapped with ``in_axes=-1 / out_axes=-1``.
 
 Geometry is affine (all reference meshes are straight-sided simplices), so the
 per-cell Jacobian is constant: physical basis gradients are
@@ -77,65 +86,100 @@ def _register_dataclass_pytree(cls):
 @_register_dataclass_pytree
 @dataclasses.dataclass
 class CellDomain:
-    """Integration domain over a selected set of cells."""
+    """Integration domain over a selected set of cells (SoA: nE minormost)."""
 
-    eldofs: jnp.ndarray       # (nE, nb) node ids
-    flat_eldofs: jnp.ndarray  # (nE, nb*nF) dof ids
-    Jinv: jnp.ndarray         # (nE, dim, dim)
-    wdet: jnp.ndarray         # (nE, nq)
-    xq: jnp.ndarray           # (nE, nq, dim)
+    eldofsT: jnp.ndarray      # (ne, nE) flattened dof ids, ne = nb*nFields
+    JinvT: jnp.ndarray        # (dim, dim, nE)
+    wdetT: jnp.ndarray        # (nq, nE)
+    xqT: jnp.ndarray          # (nq, dim, nE)
     h: jnp.ndarray            # (nE,)
     phi: jnp.ndarray          # (nq, nb) static table
     gphi_ref: jnp.ndarray     # (nq, nb, dim)
     hess_ref: jnp.ndarray     # (nq, nb, dim, dim)
-    scat_gidx: jnp.ndarray    # (n_dofs, Kmax) transpose-gather indices (+1,
+    scat_gidx: jnp.ndarray    # (Kmax, n_dofs) transpose-gather indices (+1,
                               # 0 = padding) — scatter-free assembly
 
+    @property
+    def n_elem(self) -> int:
+        return self.wdetT.shape[-1]
+
     def ctx(self) -> CellCtx:
-        gphi = jnp.einsum("qbd,Ede->Eqbe", self.gphi_ref, self.Jinv)
-        # hess_phys[c,f] = sum_{d,e} Jinv[d,c] Href[d,e] Jinv[e,f] (affine map)
-        hess = jnp.einsum(
-            "Edc,qbde,Eef->Eqbcf", self.Jinv, self.hess_ref, self.Jinv
-        ) if self.hess_ref.size else None
-        nE = self.wdet.shape[0]
-        phi = jnp.broadcast_to(self.phi, (nE,) + self.phi.shape)
-        return CellCtx(phi, gphi, self.wdet, self.xq, self.h, hess)
+        data, make_ctx = self.per_elem()
+        return make_ctx(data)
+
+    def per_elem(self):
+        """(leading-nE-last leaves, chunk -> Ctx builder).
+
+        Only the O(nE) geometry travels through chunked evaluation; the
+        static basis tables are closed over, so intermediates inside autodiff
+        stay bounded by the chunk size instead of the full element count."""
+        data = (self.JinvT, self.wdetT, self.xqT, self.h)
+
+        def make_ctx(d):
+            JinvT, wdetT, xqT, h = d
+            nE = wdetT.shape[-1]
+            gphi = jnp.einsum("qbd,deE->qbeE", self.gphi_ref, JinvT)
+            # hess_phys[c,f] = Σ_{d,e} Jinv[d,c] Href[d,e] Jinv[e,f] (affine)
+            hess = jnp.einsum(
+                "dcE,qbde,efE->qbcfE", JinvT, self.hess_ref, JinvT
+            ) if self.hess_ref.size else None
+            phi = jnp.broadcast_to(
+                self.phi[..., None], self.phi.shape + (nE,)
+            )
+            return CellCtx(phi, gphi, wdetT, xqT, h, hess)
+
+        return data, make_ctx
 
 
 @_register_dataclass_pytree
 @dataclasses.dataclass
 class FacetDomain:
-    """One-sided ('+') integration domain over a selected set of facets."""
+    """One-sided ('+') integration domain over a set of facets (SoA)."""
 
-    eldofs: jnp.ndarray       # (nF, nb) plus-cell node ids
-    flat_eldofs: jnp.ndarray  # (nF, nb*nFields)
-    phi: jnp.ndarray          # (nF, nq, nb)  per-facet tables
-    gphi: jnp.ndarray         # (nF, nq, nb, dim) physical gradients
-    hess: jnp.ndarray         # (nF, nq, nb, dim, dim) physical hessians
-    w: jnp.ndarray            # (nF, nq) = wq * facet measure
-    xq: jnp.ndarray           # (nF, nq, dim)
+    eldofsT: jnp.ndarray      # (ne, nF) plus-cell flattened dof ids
+    phiT: jnp.ndarray         # (nq, nb, nF)  per-facet tables
+    gphiT: jnp.ndarray        # (nq, nb, dim, nF) physical gradients
+    hessT: jnp.ndarray        # (nq, nb, dim, dim, nF) physical hessians
+    wT: jnp.ndarray           # (nq, nF) = wq * facet measure
+    xqT: jnp.ndarray          # (nq, dim, nF)
     h: jnp.ndarray            # (nF,) plus-cell diameter
-    normal: jnp.ndarray       # (nF, dim) outward unit normal of plus cell
+    normalT: jnp.ndarray      # (dim, nF) outward unit normal of plus cell
     scat_gidx: jnp.ndarray
 
+    @property
+    def n_elem(self) -> int:
+        return self.wT.shape[-1]
+
     def ctx(self) -> FacetCtx:
-        hess = self.hess if self.hess.size else None
-        return FacetCtx(
-            self.phi, self.gphi, self.w, self.xq, self.h, self.normal, hess
-        )
+        data, make_ctx = self.per_elem()
+        return make_ctx(data)
+
+    def per_elem(self):
+        """(nE-last leaves, chunk -> Ctx builder); see CellDomain.per_elem."""
+        has_hess = bool(self.hessT.size)
+        data = (self.phiT, self.gphiT, self.wT, self.xqT, self.h,
+                self.normalT) + ((self.hessT,) if has_hess else ())
+
+        def make_ctx(d):
+            phi, gphi, w, xq, h, normal = d[:6]
+            hess = d[6] if has_hess else None
+            return FacetCtx(phi, gphi, w, xq, h, normal, hess)
+
+        return data, make_ctx
 
 
 def _scatter_cache(flat_eldofs: np.ndarray, n_dofs: int):
-    """Transpose-gather index table: scatter-add as a pure gather+row-sum.
+    """Transpose-gather index table: scatter-add as a pure gather+plane-sum.
 
     TPU scatters serialize; instead, for each output dof we precompute the
-    (padded) list of positions in the flattened per-element residual array
-    that contribute to it. Device-side accumulation is then
-    ``concat([0], data)[gidx].sum(-1)`` — gathers and a small reduction, the
-    fast path on the VPU. Index 0 is the zero sentinel (stored indices are
-    shifted by +1).
+    (padded) list of positions in the SoA-flattened per-element residual
+    array (index = a*nE + e for local dof a of element e) that contribute to
+    it. Device-side accumulation is then ``concat([0], data)[gidx].sum(0)``
+    — gathers and a small reduction, the fast path on the VPU. Index 0 is
+    the zero sentinel (stored indices are shifted by +1). The table is
+    (Kmax, n_dofs): plane-major so the dof axis rides the lanes.
     """
-    ids = flat_eldofs.ravel()
+    ids = np.ascontiguousarray(flat_eldofs.T).ravel()   # a*nE + e order
     order = np.argsort(ids, kind="stable")
     sorted_ids = ids[order]
     counts = np.bincount(ids, minlength=n_dofs)
@@ -143,14 +187,32 @@ def _scatter_cache(flat_eldofs: np.ndarray, n_dofs: int):
     starts = np.zeros(n_dofs, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
-    gidx = np.zeros((n_dofs, kmax), dtype=np.int32)
-    gidx[sorted_ids, pos] = (order + 1).astype(np.int32)
+    gidx = np.zeros((kmax, n_dofs), dtype=np.int32)
+    gidx[pos, sorted_ids] = (order + 1).astype(np.int32)
     return jnp.asarray(gidx)
 
 
 def gather_scatter(gidx: jnp.ndarray, data_flat: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate SoA-flattened (a*nE+e) element data into dof planes."""
     padded = jnp.concatenate([jnp.zeros(1, data_flat.dtype), data_flat])
-    return padded[gidx].sum(axis=-1)
+    return padded[gidx].sum(axis=0)
+
+
+def _chunk_last(tree, chunk: int, nE: int):
+    """Pad (edge-replicating) and split the trailing element axis into
+    lax.map-able (n_chunks, ..., chunk) leaves."""
+    pad = (-nE) % chunk
+
+    def prep(a):
+        if pad:
+            # edge-replicate: padded elements stay valid geometry (no 1/h
+            # infinities feeding NaNs); their outputs are sliced away.
+            tail = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (pad,))
+            a = jnp.concatenate([a, tail], axis=-1)
+        a = a.reshape(a.shape[:-1] + ((nE + pad) // chunk, chunk))
+        return jnp.moveaxis(a, -2, 0)
+
+    return jax.tree_util.tree_map(prep, tree)
 
 
 def build_cell_domain(
@@ -182,11 +244,14 @@ def build_cell_domain(
     fl = flat_dofs(eldofs, space.n_fields)
     gidx = _scatter_cache(fl, space.n_dofs)
     dom = CellDomain(
-        eldofs=jnp.asarray(eldofs),
-        flat_eldofs=jnp.asarray(fl),
-        Jinv=jnp.asarray(Jinv.astype(dtype)),
-        wdet=jnp.asarray(wdet.astype(dtype)),
-        xq=jnp.asarray(xq.astype(dtype)),
+        eldofsT=jnp.asarray(np.ascontiguousarray(fl.T)),
+        JinvT=jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(Jinv, 0, -1)).astype(dtype)
+        ),
+        wdetT=jnp.asarray(np.ascontiguousarray(wdet.T).astype(dtype)),
+        xqT=jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(xq, 0, -1)).astype(dtype)
+        ),
         h=jnp.asarray(mesh.cell_diameters[cell_ids].astype(dtype)),
         phi=jnp.asarray(phi.astype(dtype)),
         gphi_ref=jnp.asarray(gphi_ref.astype(dtype)),
@@ -288,16 +353,21 @@ def build_facet_domain(
     eldofs = np.asarray(space.cell_dofs)[plus_cell]
     fl = flat_dofs(eldofs, space.n_fields)
     gidx = _scatter_cache(fl, space.n_dofs)
+
+    def soa(a):
+        return jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(a, 0, -1)).astype(dtype)
+        )
+
     dom = FacetDomain(
-        eldofs=jnp.asarray(eldofs),
-        flat_eldofs=jnp.asarray(fl),
-        phi=jnp.asarray(phi.astype(dtype)),
-        gphi=jnp.asarray(gphi.astype(dtype)),
-        hess=jnp.asarray(hess.astype(dtype)),
-        w=jnp.asarray(w.astype(dtype)),
-        xq=jnp.asarray(xq.astype(dtype)),
+        eldofsT=jnp.asarray(np.ascontiguousarray(fl.T)),
+        phiT=soa(phi),
+        gphiT=soa(gphi),
+        hessT=soa(hess) if with_hessian else jnp.asarray(hess.astype(dtype)),
+        wT=soa(w),
+        xqT=soa(xq),
         h=jnp.asarray(mesh.cell_diameters[plus_cell].astype(dtype)),
-        normal=jnp.asarray(nrm.astype(dtype)),
+        normalT=soa(nrm),
         scat_gidx=gidx,
     )
     dom.flat_eldofs_np = fl
@@ -343,12 +413,13 @@ class Form:
     # All methods are pure functions of (u, aux, params): jit at call sites.
 
     def _gather(self, domain, vec):
-        nE, ne = domain.flat_eldofs.shape
+        ne, nE = domain.eldofsT.shape
         nb = ne // self.n_fields
-        return vec[domain.flat_eldofs].reshape(nE, nb, self.n_fields)
+        return vec[domain.eldofsT].reshape(nb, self.n_fields, nE)
 
-    def _scatter(self, domain, r_loc, out_size):
-        return gather_scatter(domain.scat_gidx, r_loc.reshape(-1))
+    def _scatter(self, domain, r_loc):
+        nE = r_loc.shape[-1]
+        return gather_scatter(domain.scat_gidx, r_loc.reshape(-1, nE).reshape(-1))
 
     def residual(self, u, aux=None, params=None):
         aux = aux or {}
@@ -357,24 +428,27 @@ class Form:
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
             ctx = dom.ctx()
-            r_loc = jax.vmap(kern, in_axes=(0, 0, 0, None))(
+            r_loc = jax.vmap(kern, in_axes=(-1, -1, -1, None), out_axes=-1)(
                 u_loc, aux_loc, ctx, params
             )
-            r = r + self._scatter(dom, r_loc, self.n_dofs)
+            r = r + self._scatter(dom, r_loc)
         return r
 
-    def jacobian_blocks(self, u, aux=None, params=None):
-        """Per-term dense element Jacobians K (nE, ne, ne), ne = nb*nF.
+    def jacobian_blocks(self, u, aux=None, params=None, chunk=None):
+        """Per-term dense element Jacobians K (ne, ne, nE), ne = nb*nF.
 
         This is the engine's ``derivative(res, u)`` (common.py:434):
         forward-mode autodiff of each local residual kernel.
+
+        ``chunk``: evaluate elements in lax.map segments of this size. The
+        jacfwd graph holds tangent-batched per-element intermediates; at
+        million-element scale (bench) those exceed HBM unless bounded.
         """
         aux = aux or {}
         blocks = []
         for dom, kern in self.terms:
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
-            ctx = dom.ctx()
 
             def local_jac(ul, al, c, kern=kern):
                 nb, nF = ul.shape
@@ -384,38 +458,67 @@ class Form:
 
                 return jax.jacfwd(flat_res)(ul.reshape(-1))
 
-            K = jax.vmap(local_jac, in_axes=(0, 0, 0))(u_loc, aux_loc, ctx)
+            nE = u_loc.shape[-1]
+            vjac = jax.vmap(local_jac, in_axes=(-1, -1, -1), out_axes=-1)
+            data, make_ctx = dom.per_elem()
+            if chunk is None or nE <= chunk:
+                K = vjac(u_loc, aux_loc, make_ctx(data))
+            else:
+                tree_c = _chunk_last((u_loc, aux_loc, data), chunk, nE)
+
+                def one(chunk_tree):
+                    ul, al, d = chunk_tree
+                    return vjac(ul, al, make_ctx(d))
+
+                Kc = jax.lax.map(one, tree_c)        # (nch, ne, ne, chunk)
+                K = jnp.moveaxis(Kc, 0, -2).reshape(
+                    Kc.shape[1], Kc.shape[2], -1
+                )[..., :nE]
             blocks.append(K)
         return blocks
+
+    # The tiny-ne contractions below are unrolled as elementwise FMAs over
+    # the long element axis rather than einsum: a batched dot_general with
+    # a 3..18-wide contraction gets a (8,128)-tiled minor layout on the tiny
+    # dims under XLA:TPU (catastrophic padding, and the f64 emulation
+    # materializes 8 broadcast copies of it — 24 GB at bench scale). The
+    # unrolled form stays in plane-aligned VPU ops.
 
     def matvec(self, blocks, x):
         """Apply the (foreground) linearized operator: y = A_f x."""
         y = jnp.zeros(self.n_dofs, dtype=x.dtype)
         for (dom, _), K in zip(self.terms, blocks):
-            xe = x[dom.flat_eldofs]
-            ye = jnp.einsum("eab,eb->ea", K, xe)
-            y = y + self._scatter(dom, ye, self.n_dofs)
+            xe = x[dom.eldofsT]                           # (ne, nE)
+            ne = xe.shape[0]
+            ye = sum(K[:, b, :] * xe[b][None, :] for b in range(ne))
+            y = y + gather_scatter(dom.scat_gidx, ye.reshape(-1))
         return y
 
     def matvec_multi(self, blocks, X):
-        """Multi-RHS operator application: X (n_dofs, k) -> (n_dofs, k)."""
-        k = X.shape[1]
-        Y = jnp.zeros((self.n_dofs, k), dtype=X.dtype)
+        """Multi-RHS operator application, stacked: (k, n_dofs) -> (k, n_dofs)."""
+        k = X.shape[0]
+        Y = jnp.zeros((k, self.n_dofs), dtype=X.dtype)
         for (dom, _), K in zip(self.terms, blocks):
-            xe = X[dom.flat_eldofs]                       # (nE, ne, k)
-            ye = jnp.einsum("eab,ebk->eak", K, xe)
-            data = ye.reshape(-1, k)
-            padded = jnp.concatenate([jnp.zeros((1, k), data.dtype), data])
-            Y = Y + padded[dom.scat_gidx].sum(axis=1)
+            xe = X[:, dom.eldofsT]                        # (k, ne, nE)
+            ne = xe.shape[1]
+            ye = sum(
+                K[None, :, b, :] * xe[:, b, None, :] for b in range(ne)
+            )                                             # (k, ne, nE)
+            data = ye.reshape(k, -1)
+            padded = jnp.concatenate(
+                [jnp.zeros((k, 1), data.dtype), data], axis=1
+            )
+            Y = Y + jnp.take(padded, dom.scat_gidx, axis=1).sum(axis=1)
         return Y
 
     def matvec_t(self, blocks, x):
         """Apply the transposed operator: y = A_fᵀ x (condition estimation)."""
         y = jnp.zeros(self.n_dofs, dtype=x.dtype)
         for (dom, _), K in zip(self.terms, blocks):
-            xe = x[dom.flat_eldofs]
-            ye = jnp.einsum("eab,ea->eb", K, xe)
-            y = y + self._scatter(dom, ye, self.n_dofs)
+            xe = x[dom.eldofsT]
+            ne = xe.shape[0]
+            ye = sum(K[a, :, :] * xe[a][None, :] for a in range(ne))
+            y = y + gather_scatter(dom.scat_gidx, ye.reshape(-1))
         return y
 
 
@@ -429,15 +532,15 @@ def integrate(domain, kernel, u, aux=None, params=None, n_fields=1):
     engine's ``assemble(inner(e, e)*dx_custom)`` (error norms, poisson.py:216-224).
     """
     aux = aux or {}
-    nE, ne = domain.flat_eldofs.shape
+    ne, nE = domain.eldofsT.shape
     nb = ne // n_fields
 
     def gather(vec):
-        return vec[domain.flat_eldofs].reshape(nE, nb, n_fields)
+        return vec[domain.eldofsT].reshape(nb, n_fields, nE)
 
     u_loc = gather(u)
     aux_loc = {k: gather(v) for k, v in aux.items()}
-    vals = jax.vmap(kernel, in_axes=(0, 0, 0, None))(
+    vals = jax.vmap(kernel, in_axes=(-1, -1, -1, None), out_axes=0)(
         u_loc, aux_loc, domain.ctx(), params
     )
     return vals.sum()

@@ -1,18 +1,26 @@
 """The extraction operator M (background -> foreground interpolation).
 
 TPU-native replacement for the reference's distributed PETSc AIJ matrix
-(readExOp, common.py:645-712). M is stored in padded row-ELL form:
+(readExOp, common.py:645-712). M is stored in padded **slot-major ELL** form:
 
-    idx (n_fg_dofs, kmax) int32   background dof ids (padded with 0)
-    val (n_fg_dofs, kmax) float   weights (padding weight 0)
+    idxT (kmax, n_fg_dofs) int32   background dof ids (padded with 0)
+    valT (kmax, n_fg_dofs) float   weights (padding weight 0)
 
-which makes the two hot operations embarrassingly vectorizable on TPU:
+Slot-major ("struct of planes") puts the long dof axis minormost, which is
+the layout TPU tiling wants: XLA:TPU tiles the two minor dims to (8, 128),
+so a row-major (n, kmax) table would physically pad kmax -> 128 (up to 42x
+HBM). With (kmax, n) every plane is a dense lane-aligned vector.
 
-* ``u_f = M u_b``  — a gather + weighted row-sum (VPU, bandwidth-bound),
+The two hot operations are embarrassingly vectorizable on TPU:
+
+* ``u_f = M u_b``  — a gather + weighted plane-sum (VPU, bandwidth-bound),
   replacing PETSc MatMult (transferToForeground, common.py:123-140);
-* ``r_b = Mᵀ r_f`` — a pre-sorted segment-sum, replacing MatMultTranspose
-  (AT_x, la_utils.py:143-163). The sort permutation is computed once on host,
-  so the device op is a gather + monotone segment-sum (no atomic scatters).
+* ``r_b = Mᵀ r_f`` — a pre-sorted transpose-gather, replacing
+  MatMultTranspose (AT_x, la_utils.py:143-163). The permutation is computed
+  once on host, so the device op is a gather + plane-sum (no atomic scatters).
+
+Multi-RHS variants take/return **stacked** vectors of shape (k, n) — the RHS
+axis leads so the dof axis stays minormost.
 
 Multi-field block offsets follow the reference exactly: foreground dofs
 interleave fields (node*n_fields + field) while background dofs are
@@ -27,33 +35,32 @@ import jax.numpy as jnp
 
 @jax.tree_util.register_pytree_node_class
 class ExtractionOperator:
-    """Sparse M of shape (n_fg_dofs, n_bg_dofs) in padded ELL rows."""
+    """Sparse M of shape (n_fg_dofs, n_bg_dofs) in slot-major ELL planes."""
 
     def __init__(self, idx, val, n_bg_dofs, _device_cache=None):
-        """idx/val should be numpy arrays (device downloads through the axon
-        tunnel pay a per-shape compile cost — construction stays host-pure)."""
+        """idx/val are (n_fg, kmax) numpy arrays (row-major construction is
+        natural on host; device copies are stored transposed)."""
         self.idx_np = np.asarray(idx)
         self.val_np = np.asarray(val)
-        self.idx = self.idx_np
-        self.val = self.val_np
         self.n_bg_dofs = int(n_bg_dofs)
         self.n_fg_dofs = int(self.idx_np.shape[0])
         if _device_cache is None:
-            _device_cache = self._build_transpose_cache()
-        (self._t_gidx, _unused, self._d_idx, self._d_val) = _device_cache
+            _device_cache = self._build_device_cache()
+        (self._t_gidx, self._d_idx, self._d_val) = _device_cache
 
     # -- construction --------------------------------------------------------
 
-    def _build_transpose_cache(self):
+    def _build_device_cache(self):
         # transpose-gather table (see ops/assembly._scatter_cache): Mᵀ as a
-        # pure gather + row-sum instead of a TPU-hostile scatter.
-        # ELL padding entries (val == 0, idx == 0) are excluded — otherwise
-        # background dof 0 accumulates every padded slot and the gather row
-        # width explodes.
-        idx = self.idx_np
-        val = self.val_np
-        live = np.flatnonzero(val.ravel() != 0.0)
-        ids = idx.ravel()[live]
+        # pure gather + plane-sum instead of a TPU-hostile scatter. Positions
+        # index the slot-major flattening (slot*n_fg + row), shifted by +1
+        # (0 = zero sentinel). ELL padding entries (val == 0) are excluded —
+        # otherwise background dof 0 accumulates every padded slot and the
+        # gather plane count explodes.
+        idxT = np.ascontiguousarray(self.idx_np.T)   # (kmax, n_fg)
+        valT = np.ascontiguousarray(self.val_np.T)
+        live = np.flatnonzero(valT.ravel() != 0.0)
+        ids = idxT.ravel()[live]
         order = np.argsort(ids, kind="stable")
         sorted_ids = ids[order]
         counts = np.bincount(ids, minlength=self.n_bg_dofs)
@@ -61,13 +68,12 @@ class ExtractionOperator:
         starts = np.zeros(self.n_bg_dofs, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
-        gidx = np.zeros((self.n_bg_dofs, kmax), dtype=np.int32)
-        gidx[sorted_ids, pos] = (live[order] + 1).astype(np.int32)
+        gidx = np.zeros((kmax, self.n_bg_dofs), dtype=np.int32)
+        gidx[pos, sorted_ids] = (live[order] + 1).astype(np.int32)
         return (
             jnp.asarray(gidx),
-            None,
-            jnp.asarray(idx),
-            jnp.asarray(val),
+            jnp.asarray(idxT),
+            jnp.asarray(valT),
         )
 
     @classmethod
@@ -166,8 +172,6 @@ class ExtractionOperator:
     def tree_unflatten(cls, aux, leaves):
         d_idx, d_val, t_gidx = leaves
         obj = object.__new__(cls)
-        obj.idx = d_idx
-        obj.val = d_val
         obj.n_bg_dofs, obj.n_fg_dofs = aux
         obj._t_gidx = t_gidx
         obj._d_idx, obj._d_val = d_idx, d_val
@@ -177,32 +181,34 @@ class ExtractionOperator:
 
     def mv(self, u_b: jnp.ndarray) -> jnp.ndarray:
         """u_f = M u_b (transferToForeground, common.py:123-140)."""
-        return (self._d_val * u_b[self._d_idx]).sum(axis=-1)
+        return (self._d_val * u_b[self._d_idx]).sum(axis=0)
 
     def rmv(self, r_f: jnp.ndarray) -> jnp.ndarray:
         """r_b = Mᵀ r_f (AT_x, la_utils.py:143-163): transpose-gather."""
-        data = (self._d_val * r_f[:, None]).reshape(-1)
+        data = (self._d_val * r_f[None, :]).reshape(-1)
         padded = jnp.concatenate([jnp.zeros(1, data.dtype), data])
-        return padded[self._t_gidx].sum(axis=-1)
+        return padded[self._t_gidx].sum(axis=0)
 
     # -- multi-RHS variants ---------------------------------------------------
-    # Gathering k contiguous values per index amortizes the TPU's per-index
-    # gather latency: used for stencil probing and blocked solves.
+    # Stacked (k, n) layouts keep the dof axis minormost (lane-aligned) while
+    # amortizing the per-index gather latency over k simultaneous vectors:
+    # used for stencil probing and blocked solves.
 
     def mv_multi(self, U: jnp.ndarray) -> jnp.ndarray:
-        """(n_bg, k) -> (n_fg, k)."""
-        return jnp.einsum("rc,rck->rk", self._d_val, U[self._d_idx])
+        """(k, n_bg) -> (k, n_fg)."""
+        return (self._d_val[None] * U[:, self._d_idx]).sum(axis=1)
 
     def rmv_multi(self, R: jnp.ndarray) -> jnp.ndarray:
-        """(n_fg, k) -> (n_bg, k)."""
-        k = R.shape[1]
-        data = (self._d_val[:, :, None] * R[:, None, :]).reshape(-1, k)
-        padded = jnp.concatenate([jnp.zeros((1, k), data.dtype), data])
-        return padded[self._t_gidx].sum(axis=1)
+        """(k, n_fg) -> (k, n_bg)."""
+        k = R.shape[0]
+        data = (self._d_val[None] * R[:, None, :]).reshape(k, -1)
+        padded = jnp.concatenate([jnp.zeros((k, 1), data.dtype), data], axis=1)
+        return jnp.take(padded, self._t_gidx, axis=1).sum(axis=1)
 
-    def row_blocks(self, node_dofs: jnp.ndarray):
-        """Gather ELL rows for given fg dof ids: returns (idx, val) blocks."""
-        return self._d_idx[node_dofs], self._d_val[node_dofs]
+    def row_blocks(self, eldofsT: jnp.ndarray):
+        """Gather ELL planes for fg dof ids (ne, nE): (idx, val) each
+        (kmax, ne, nE)."""
+        return self._d_idx[:, eldofsT], self._d_val[:, eldofsT]
 
     # -- host-side export -------------------------------------------------------
 

@@ -90,37 +90,40 @@ class StencilMultigrid:
             fine = self.levels[-1]
             cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
 
-            # Galerkin coarse operator R A P, probed column-block-wise
+            # Galerkin coarse operator R A P, probed on stacked (k, n) vectors
             def rap_multi(Xc, fine=fine, cshape=cshape):
-                k = Xc.shape[1]
                 cols = []
-                for c in range(k):
-                    xc2 = Xc[:, c].reshape(cshape)
+                for c in range(Xc.shape[0]):
+                    xc2 = Xc[c].reshape(cshape)
                     xf = _prolong(xc2)
                     yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
                     cols.append(_restrict(yf).reshape(-1))
-                return jnp.stack(cols, axis=1)
+                return jnp.stack(cols, axis=0)
 
             Sc = StencilOperator2D.probe_multi(
                 rap_multi, cshape, radius=fine.radius,
-                dtype=fine.coeffs.dtype,
+                dtype=fine.dtype,
             )
             self.levels.append(Sc)
 
         self.inv_diags = []
         for S_l in self.levels:
             d = S_l.diag()
-            self.inv_diags.append(1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0))
+            invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+            # stored as a tile-padded plane: loop-invariant smoother operand
+            self.inv_diags.append(S_l.pad_plane(invd))
 
     # -- cycle ------------------------------------------------------------------
 
     def _smooth(self, lvl: int, x, b, sweeps: int):
         S = self.levels[lvl]
-        invd = self.inv_diags[lvl]
+        invd2 = self.inv_diags[lvl]
+        b2 = S.pad_plane(b)      # pad once; invariant across sweeps
         om = self.omega
 
         def body(_, x):
-            return x + om * invd * (b - S.mv(x))
+            # fused stencil-apply + Jacobi update (Pallas on TPU)
+            return S.jacobi_smooth(invd2, b2, x, om)
 
         return jax.lax.fori_loop(0, sweeps, body, x)
 

@@ -61,12 +61,13 @@ class BackgroundOperator:
         return y
 
     def mv_multi(self, X: jnp.ndarray) -> jnp.ndarray:
-        """Multi-RHS application (n_bg, k): amortizes gather latency."""
+        """Multi-RHS application, stacked (k, n_bg): amortizes gather latency
+        while keeping the dof axis minormost (TPU lane-aligned)."""
         Y = self.M.rmv_multi(
             self.form.matvec_multi(self.blocks, self.M.mv_multi(X))
         )
         if self.trim_mask is not None:
-            Y = jnp.where(self.trim_mask[:, None], X, Y)
+            Y = jnp.where(self.trim_mask[None, :], X, Y)
         return Y
 
     def with_trim(self, mask) -> "BackgroundOperator":
@@ -94,31 +95,36 @@ class BackgroundOperator:
         """
         d = jnp.zeros(self.n, dtype=self.blocks[0].dtype)
         for (dom, _), K in zip(self.form.terms, self.blocks):
-            midx, mval = self.M.row_blocks(dom.flat_eldofs)  # (nE, ne, km)
-            nE = K.shape[0]
+            midx, mval = self.M.row_blocks(dom.eldofsT)   # (km, ne, nE)
+            nE = K.shape[-1]
             csize = max(min(chunk, nE), 1)
-            npad = (-nE) % csize
-            Kp = jnp.pad(K, ((0, npad), (0, 0), (0, 0)))
-            ip = jnp.pad(midx, ((0, npad), (0, 0), (0, 0)))
-            vp = jnp.pad(mval, ((0, npad), (0, 0), (0, 0)))
-            nchunks = Kp.shape[0] // csize
-            Kc = Kp.reshape(nchunks, csize, *K.shape[1:])
-            ic = ip.reshape(nchunks, csize, *midx.shape[1:])
-            vc = vp.reshape(nchunks, csize, *mval.shape[1:])
+            # zero-pad (not edge-replicate): padded elements must contribute 0
+            pad = (-nE) % csize
+
+            def prep(a):
+                if pad:
+                    z = jnp.zeros(a.shape[:-1] + (pad,), a.dtype)
+                    a = jnp.concatenate([a, z], axis=-1)
+                a = a.reshape(a.shape[:-1] + ((nE + pad) // csize, csize))
+                return jnp.moveaxis(a, -2, 0)
+
+            Kc_all, ic_all, vc_all = prep(K), prep(midx), prep(mval)
 
             def body(acc, args):
                 Kc, ic, vc = args
-                eq = ic[:, :, :, None, None] == ic[:, None, None, :, :]
-                # T[e,a,ka] = val[a,ka] * sum_{b,kb} K[a,b] val[b,kb] eq
+                eq = ic[:, :, None, None, :] == ic[None, None, :, :, :]
+                # T[K,a,E] = val[K,a] * Σ_{L,b} K[a,b] val[L,b] [idx equal]
                 T = jnp.einsum(
-                    "eab,eaKbL,ebL->eaK", Kc, eq.astype(Kc.dtype), vc
+                    "abE,KaLbE,LbE->KaE", Kc, eq.astype(Kc.dtype), vc
                 ) * vc
                 acc = acc + jax.ops.segment_sum(
                     T.reshape(-1), ic.reshape(-1), num_segments=self.n
                 )
                 return acc, None
 
-            partial, _ = jax.lax.scan(body, jnp.zeros(self.n, K.dtype), (Kc, ic, vc))
+            partial, _ = jax.lax.scan(
+                body, jnp.zeros(self.n, K.dtype), (Kc_all, ic_all, vc_all)
+            )
             d = d + partial
         if self.trim_mask is not None:
             d = jnp.where(self.trim_mask, 1.0, d)
@@ -136,13 +142,14 @@ class BackgroundOperator:
         for (dom, _), K in zip(self.form.terms, self.blocks):
             fl = getattr(dom, "flat_eldofs_np", None)
             if fl is None:
-                fl = np.asarray(dom.flat_eldofs)
+                fl = np.asarray(dom.eldofsT).T
             ne = fl.shape[1]
             rows = np.repeat(fl, ne, axis=1).ravel()
             cols = np.tile(fl, (1, ne)).ravel()
+            Kel = np.moveaxis(np.asarray(K), -1, 0)      # (nE, ne, ne)
             mats.append(
                 sp.coo_matrix(
-                    (np.asarray(K).ravel(), (rows, cols)), shape=(n_fg, n_fg)
+                    (Kel.ravel(), (rows, cols)), shape=(n_fg, n_fg)
                 )
             )
         A_f = sum(mats[1:], mats[0]).tocsr()

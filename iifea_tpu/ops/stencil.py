@@ -18,7 +18,12 @@ lattice probing (matrix probing / graph coloring): apply the slow matvec to
 stencil neighborhoods, one application recovers one diagonal band of A_b per
 color. 25 slow applications at setup buy unlimited fast applications.
 
-This turns the Jacobi-PCG bench loop into the same compute pattern as a
+Coefficient planes are stored **tile-padded** ((2r+1)², nxp, nyp) with
+nxp/nyp rounded up to the (8, 128) f32 TPU tile — the canonical form the
+Pallas kernels (ops/pallas_stencil.py) stream directly, with no per-apply
+re-padding of the dominant traffic. ``coeffs`` exposes the logical view.
+
+This turns the MG-PCG bench loop into the same compute pattern as a
 5-point-Laplacian multigrid smoother — the operator the TPU was made for.
 """
 from __future__ import annotations
@@ -26,6 +31,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from iifea_tpu.ops import pallas_stencil as ps
 
 
 @jax.tree_util.register_pytree_node_class
@@ -36,31 +43,48 @@ class StencilOperator2D:
     id = i * (ny + 1) + j.
     """
 
-    def __init__(self, coeffs: jnp.ndarray, shape: tuple[int, int], radius: int):
-        self.coeffs = coeffs          # ((2r+1)^2, nx1, ny1)
+    def __init__(self, coeffs: jnp.ndarray, shape: tuple[int, int], radius: int,
+                 _padded: bool = False):
         self.shape = tuple(shape)
         self.radius = radius
         self.n = shape[0] * shape[1]
+        if _padded:
+            self.cp = coeffs
+        else:
+            nxp, nyp = ps.padded_shape(shape)
+            self.cp = jnp.pad(
+                coeffs,
+                ((0, 0), (0, nxp - shape[0]), (0, nyp - shape[1])),
+            )
+
+    @property
+    def coeffs(self) -> jnp.ndarray:
+        """Logical ((2r+1)², nx1, ny1) coefficient view."""
+        return self.cp[:, : self.shape[0], : self.shape[1]]
+
+    @property
+    def dtype(self):
+        return self.cp.dtype
 
     def tree_flatten(self):
-        return (self.coeffs,), (self.shape, self.radius)
+        return (self.cp,), (self.shape, self.radius)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         shape, radius = aux
-        return cls(leaves[0], shape, radius)
+        return cls(leaves[0], shape, radius, _padded=True)
 
     def astype(self, dtype) -> "StencilOperator2D":
         return StencilOperator2D(
-            self.coeffs.astype(dtype), self.shape, self.radius
+            self.cp.astype(dtype), self.shape, self.radius, _padded=True
         )
 
     @staticmethod
     def probe_multi(matvec_multi, shape: tuple[int, int], radius: int = 2,
                     dtype=jnp.float32) -> "StencilOperator2D":
         """Like probe(), but all (2r+1)² indicator combs go through ONE
-        multi-RHS operator application — amortizing the slow general path's
-        per-index gather latency across the probe columns.
+        stacked multi-RHS operator application (k, n) — amortizing the slow
+        general path's per-index gather latency across the probe columns.
 
         The coefficient distribution Y -> C exploits that the color seen at
         offset k from a point depends only on the point's (i mod m, j mod m)
@@ -81,16 +105,16 @@ class StencilOperator2D:
                 for a in range(m)
                 for b in range(m)
             ],
-            axis=1,
-        )
-        Y = matvec_multi(X)                                     # (n, m²)
+            axis=0,
+        )                                                       # (m², n)
+        Y = matvec_multi(X)                                     # (m², n)
 
         # pad to phase-aligned blocks and slice per (phase, offset)
         nxp = -(-nx1 // m) * m
         nyp = -(-ny1 // m) * m
         Y3 = jnp.pad(
-            Y.reshape(nx1, ny1, m * m), ((0, nxp - nx1), (0, nyp - ny1), (0, 0))
-        ).reshape(nxp // m, m, nyp // m, m, m * m)
+            Y.reshape(m * m, nx1, ny1), ((0, 0), (0, nxp - nx1), (0, nyp - ny1))
+        ).reshape(m * m, nxp // m, m, nyp // m, m)
         Cs = []
         for oi in range(-r, r + 1):
             for oj in range(-r, r + 1):
@@ -99,7 +123,7 @@ class StencilOperator2D:
                     cols = []
                     for q in range(m):
                         c = ((p + oi) % m) * m + ((q + oj) % m)
-                        cols.append(Y3[:, p, :, q, c])   # (nxp/m, nyp/m)
+                        cols.append(Y3[c, :, p, :, q])   # (nxp/m, nyp/m)
                     rows.append(jnp.stack(cols, axis=-1))  # (.., nyp/m, m)
                 blk = jnp.stack(rows, axis=1)            # (nxp/m, m, nyp/m, m)
                 Cs.append(blk.reshape(nxp, nyp))
@@ -122,7 +146,6 @@ class StencilOperator2D:
         I, J = jnp.meshgrid(ii, jj, indexing="ij")
 
         coeffs = []
-        offsets = []
         for a in range(m):
             for b in range(m):
                 comb = ((I % m == a) & (J % m == b)).astype(dtype)
@@ -154,10 +177,22 @@ class StencilOperator2D:
         return StencilOperator2D(C, shape, r)
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A_b x as 25 shifted dense multiply-adds."""
+        """y = A_b x as (2r+1)² shifted dense multiply-adds.
+
+        On TPU the f32 path dispatches to the Pallas kernel
+        (ops/pallas_stencil.py): one fused pass at coefficient-plane
+        HBM-bandwidth. Elsewhere (CPU tests, f64 refinement residuals) the
+        pure-jnp form compiles to the same shifted-FMA chain.
+        """
+        if self.cp.dtype == jnp.float32 and ps.on_tpu():
+            return ps.stencil_mv(self.cp, x, self.shape, self.radius)
+        return self.mv_ref(x)
+
+    def mv_ref(self, x: jnp.ndarray) -> jnp.ndarray:
         nx1, ny1 = self.shape
         r = self.radius
         m = 2 * r + 1
+        C = self.coeffs
         x2 = x.reshape(nx1, ny1)
         xp = jnp.pad(x2, ((r, r), (r, r)))
         y = jnp.zeros_like(x2)
@@ -167,8 +202,31 @@ class StencilOperator2D:
                 shifted = jax.lax.dynamic_slice(
                     xp, (oi + r, oj + r), (nx1, ny1)
                 )
-                y = y + self.coeffs[k] * shifted
+                y = y + C[k] * shifted
         return y.reshape(-1)
+
+    def jacobi_smooth(self, invd2p, b2p, x, omega) -> jnp.ndarray:
+        """One weighted-Jacobi sweep x + ω·invd·(b − A x), fused on TPU.
+
+        ``invd2p``/``b2p`` are tile-padded planes from :meth:`pad_plane`
+        (loop-invariant across sweeps, so padded once by the caller).
+        """
+        if self.cp.dtype == jnp.float32 and ps.on_tpu():
+            return ps.jacobi_smooth(
+                self.cp, invd2p, b2p, x, omega, self.shape, self.radius
+            )
+        nx1, ny1 = self.shape
+        invd = invd2p[:nx1, :ny1].reshape(-1)
+        b = b2p[:nx1, :ny1].reshape(-1)
+        return x + omega * invd * (b - self.mv_ref(x))
+
+    def pad_plane(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Flat (n,) vector -> tile-padded (nxp, nyp) plane."""
+        nx1, ny1 = self.shape
+        nxp, nyp = ps.padded_shape(self.shape)
+        return jnp.pad(
+            v.reshape(nx1, ny1), ((0, nxp - nx1), (0, nyp - ny1))
+        )
 
     def diag(self) -> jnp.ndarray:
         r = self.radius
@@ -182,7 +240,7 @@ class StencilOperator2D:
         worst = 0.0
         for _ in range(n_checks):
             x = jnp.asarray(
-                rng.standard_normal(self.n).astype(self.coeffs.dtype)
+                rng.standard_normal(self.n).astype(self.cp.dtype)
             )
             y_ref = matvec(x)
             y = self.mv(x)

@@ -6,14 +6,16 @@ TPU-native restatement implemented here:
 
 * **cells/facets are sharded** across the device mesh axis 'dp' (element
   batches are embarrassingly parallel; chunks are padded with zero-weight
-  elements, which contribute exactly nothing);
+  elements, which contribute exactly nothing). Arrays are struct-of-planes
+  (element axis minormost — see ops/assembly.py), so the shard axis is the
+  LAST axis of every per-element array;
 * **the background DOF vector is replicated** (it is the coarse space —
   much smaller than the foreground);
 * the extraction operator is **fused into the element gather**: each device
   evaluates the solution at its own cells directly from the background
-  vector, u_loc[e,a] = Σ_k val[g,k]·x[idx[g,k]] with g = eldofs[e,a], so no
-  foreground halo exchange exists at all (the reference needs ghost_mode=
-  "shared_facet" + VecScatter for the same purpose);
+  vector, u_loc[a,e] = Σ_k val[k,a,e]·x[idx[k,a,e]], so no foreground halo
+  exchange exists at all (the reference needs ghost_mode="shared_facet" +
+  VecScatter for the same purpose);
 * every assembly/operator application ends in ONE ``psum`` of a
   background-sized array over ICI — the analog of matrix-stash exchange +
   MPI_Allreduce, as a single dense collective.
@@ -31,9 +33,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from iifea_tpu.ops.assembly import CellCtx, CellDomain, FacetCtx, FacetDomain, Form
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from iifea_tpu.ops.assembly import CellCtx, CellDomain, FacetCtx, Form
 from iifea_tpu.ops.extraction import ExtractionOperator
 
 
@@ -43,14 +49,14 @@ def make_device_mesh(n_devices: int | None = None) -> DeviceMesh:
     return DeviceMesh(np.array(devs[:n]), ("dp",))
 
 
-def _pad_to(arr: np.ndarray, n: int):
+def _pad_last(arr: np.ndarray, n: int, fill=0.0):
     arr = np.asarray(arr)
-    pad = n - arr.shape[0]
+    pad = n - arr.shape[-1]
     if pad == 0:
         # always writable: inputs may be read-only views of device buffers
         return np.array(arr)
-    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, widths)
+    widths = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+    return np.pad(arr, widths, constant_values=fill)
 
 
 def _register(cls):
@@ -63,16 +69,20 @@ def _register(cls):
     return cls
 
 
+def _last_axis_spec(a) -> P:
+    return P(*([None] * (np.ndim(a) - 1)), "dp")
+
+
 @_register
 @dataclasses.dataclass
 class FusedTerm:
     """One integral term with extraction fused in, sharded over 'dp'.
 
-    sharded leading-axis arrays: geometry + Fidx/Fval; replicated: tables.
+    trailing-axis-sharded arrays: geometry + Fidx/Fval; replicated: tables.
     """
 
-    Fidx: jnp.ndarray   # (nE, ne, km) background dof ids per local dof
-    Fval: jnp.ndarray   # (nE, ne, km) extraction weights
+    Fidx: jnp.ndarray   # (km, ne, nE) background dof ids per local dof
+    Fval: jnp.ndarray   # (km, ne, nE) extraction weights
     geom: tuple         # domain-kind-specific sharded geometry arrays
     tables: tuple       # replicated static tables
 
@@ -82,30 +92,35 @@ def _fuse_term(dom, M: ExtractionOperator, n_dev: int):
     Mval = M.val_np
     fl = getattr(dom, "flat_eldofs_np", None)
     if fl is None:
-        fl = np.asarray(dom.flat_eldofs)
+        fl = np.asarray(dom.eldofsT).T
     nE = fl.shape[0]
     nE_pad = -(-nE // n_dev) * n_dev
-    Fidx = _pad_to(Midx[fl], nE_pad)
-    Fval = _pad_to(Mval[fl], nE_pad)
+    flT = np.ascontiguousarray(fl.T)                     # (ne, nE)
+    Fidx = _pad_last(np.moveaxis(Midx[flT], -1, 0), nE_pad)   # (km, ne, nE)
+    Fval = _pad_last(np.moveaxis(Mval[flT], -1, 0), nE_pad)
     if isinstance(dom, CellDomain):
-        geom = tuple(
-            _pad_to(np.asarray(a), nE_pad)
-            for a in (dom.Jinv, dom.wdet, dom.xq, dom.h)
+        geom = (
+            _pad_last(np.asarray(dom.JinvT), nE_pad),
+            _pad_last(np.asarray(dom.wdetT), nE_pad),
+            _pad_last(np.asarray(dom.xqT), nE_pad),
+            # pad h with 1 to avoid div-by-zero in h^-1 penalties of padded
+            # cells (their quadrature weights are 0, so they contribute 0)
+            _pad_last(np.asarray(dom.h), nE_pad, fill=1.0),
         )
-        # pad h with 1 to avoid div-by-zero in h^-1 penalties of padded cells
-        geom[3][nE:] = 1.0
-        g2 = list(geom)
         tables = (np.asarray(dom.phi), np.asarray(dom.gphi_ref),
                   np.asarray(dom.hess_ref))
         kind = "cell"
-        geom = tuple(g2)
     else:
-        geom = tuple(
-            _pad_to(np.asarray(a), nE_pad)
-            for a in (dom.phi, dom.gphi, dom.hess, dom.w, dom.xq, dom.h,
-                      dom.normal)
+        geom = (
+            _pad_last(np.asarray(dom.phiT), nE_pad),
+            _pad_last(np.asarray(dom.gphiT), nE_pad),
+            _pad_last(np.asarray(dom.hessT), nE_pad)
+            if dom.hessT.size else np.asarray(dom.hessT),
+            _pad_last(np.asarray(dom.wT), nE_pad),
+            _pad_last(np.asarray(dom.xqT), nE_pad),
+            _pad_last(np.asarray(dom.h), nE_pad, fill=1.0),
+            _pad_last(np.asarray(dom.normalT), nE_pad),
         )
-        geom[5][nE:] = 1.0
         tables = ()
         kind = "facet"
     return kind, Fidx, Fval, geom, tables
@@ -113,19 +128,19 @@ def _fuse_term(dom, M: ExtractionOperator, n_dev: int):
 
 def _local_ctx(kind, geom, tables):
     if kind == "cell":
-        Jinv, wdet, xq, h = geom
+        JinvT, wdetT, xqT, h = geom
         phi, gphi_ref, hess_ref = tables
-        gphi = jnp.einsum("qbd,Ede->Eqbe", gphi_ref, Jinv)
+        gphi = jnp.einsum("qbd,deE->qbeE", gphi_ref, JinvT)
         hess = (
-            jnp.einsum("Edc,qbde,Eef->Eqbcf", Jinv, hess_ref, Jinv)
+            jnp.einsum("dcE,qbde,efE->qbcfE", JinvT, hess_ref, JinvT)
             if hess_ref.size else None
         )
-        nE = wdet.shape[0]
-        phi_b = jnp.broadcast_to(phi, (nE,) + phi.shape)
-        return CellCtx(phi_b, gphi, wdet, xq, h, hess)
-    phi, gphi, hess, w, xq, h, normal = geom
-    return FacetCtx(phi, gphi, w, xq, h, normal,
-                    hess if hess.size else None)
+        nE = wdetT.shape[-1]
+        phi_b = jnp.broadcast_to(phi[..., None], phi.shape + (nE,))
+        return CellCtx(phi_b, gphi, wdetT, xqT, h, hess)
+    phiT, gphiT, hessT, wT, xqT, h, normalT = geom
+    return FacetCtx(phiT, gphiT, wT, xqT, h, normalT,
+                    hessT if hessT.size else None)
 
 
 class ShardedProjectedSystem:
@@ -142,45 +157,50 @@ class ShardedProjectedSystem:
         self.n = M.n_bg_dofs
         self.n_fields = form.n_fields
         n_dev = mesh.devices.size
-        shard = NamedSharding(mesh, P("dp"))
-        repl = NamedSharding(mesh, P())
 
-        self.kinds, self.kernels, self.terms = [], [], []
+        self.kinds, self.kernels, self.terms, self._specs = [], [], [], []
         for dom, kern in form.terms:
             kind, Fidx, Fval, geom, tables = _fuse_term(dom, M, n_dev)
             self.kinds.append(kind)
             self.kernels.append(kern)
+            spec = FusedTerm(
+                Fidx=_last_axis_spec(Fidx),
+                Fval=_last_axis_spec(Fval),
+                geom=tuple(
+                    _last_axis_spec(g) if g.size else P() for g in geom
+                ),
+                tables=tuple(P() for _ in tables),
+            )
+            self._specs.append(spec)
+
+            def put(a, s):
+                return jax.device_put(
+                    a, NamedSharding(mesh, s if a.size else P())
+                )
+
             self.terms.append(
                 FusedTerm(
-                    Fidx=jax.device_put(Fidx, shard),
-                    Fval=jax.device_put(Fval, shard),
-                    geom=tuple(jax.device_put(g, shard) for g in geom),
-                    tables=tuple(jax.device_put(t, repl) for t in tables),
+                    Fidx=put(Fidx, spec.Fidx),
+                    Fval=put(Fval, spec.Fval),
+                    geom=tuple(put(g, s) for g, s in zip(geom, spec.geom)),
+                    tables=tuple(
+                        jax.device_put(t, NamedSharding(mesh, P()))
+                        for t in tables
+                    ),
                 )
             )
-
-        spec_term = FusedTerm(
-            Fidx=P("dp"), Fval=P("dp"),
-            geom=tuple(P("dp") for _ in self.terms[0].geom) if self.terms else (),
-            tables=(),
-        )
-        self._specs = [
-            FusedTerm(P("dp"), P("dp"), tuple(P("dp") for _ in t.geom),
-                      tuple(P() for _ in t.tables))
-            for t in self.terms
-        ]
-        del spec_term
 
     # -- local helpers --------------------------------------------------------
 
     def _gather_local(self, Fidx, Fval, x):
-        """u_loc (nE, nb, nF) from the replicated background vector."""
-        vals = (Fval * x[Fidx]).sum(-1)               # (nE, ne)
-        nE, ne = vals.shape
-        return vals.reshape(nE, ne // self.n_fields, self.n_fields)
+        """u_loc (nb, nF, nE) from the replicated background vector."""
+        vals = (Fval * x[Fidx]).sum(0)                # (ne, nE)
+        ne, nE = vals.shape
+        return vals.reshape(ne // self.n_fields, self.n_fields, nE)
 
     def _scatter_local(self, Fidx, Fval, r_loc, n):
-        data = (r_loc.reshape(*Fval.shape[:2], 1) * Fval).reshape(-1)
+        ne, nE = Fval.shape[1:]
+        data = (r_loc.reshape(1, ne, nE) * Fval).reshape(-1)
         return jax.ops.segment_sum(data, Fidx.reshape(-1), num_segments=n)
 
     # -- public ops (jit-compatible) ------------------------------------------
@@ -196,9 +216,9 @@ class ShardedProjectedSystem:
             def term_res(t, x, kern=kern, kind=kind):
                 u_loc = self._gather_local(t.Fidx, t.Fval, x)
                 ctx = _local_ctx(kind, t.geom, t.tables)
-                r_loc = jax.vmap(kern, in_axes=(0, 0, 0, None))(
-                    u_loc, {}, ctx, params
-                )
+                r_loc = jax.vmap(
+                    kern, in_axes=(-1, -1, -1, None), out_axes=-1
+                )(u_loc, {}, ctx, params)
                 contrib = self._scatter_local(t.Fidx, t.Fval, r_loc, self.n)
                 return jax.lax.psum(contrib, "dp")
 
@@ -206,13 +226,14 @@ class ShardedProjectedSystem:
         return out
 
     def assemble_blocks(self, u_p, params=None):
-        """Sharded element Jacobians K (kept sharded for matvec/diag)."""
+        """Sharded element Jacobians K (ne, ne, nE) (kept sharded)."""
         blocks = []
         for i, term in enumerate(self.terms):
             kern, kind = self.kernels[i], self.kinds[i]
 
             @partial(shard_map, mesh=self.mesh,
-                     in_specs=(self._specs[i], P()), out_specs=P("dp"))
+                     in_specs=(self._specs[i], P()),
+                     out_specs=P(None, None, "dp"))
             def term_blocks(t, x, kern=kern, kind=kind):
                 u_loc = self._gather_local(t.Fidx, t.Fval, x)
                 ctx = _local_ctx(kind, t.geom, t.tables)
@@ -225,7 +246,9 @@ class ShardedProjectedSystem:
 
                     return jax.jacfwd(flat_res)(ul.reshape(-1))
 
-                return jax.vmap(local_jac)(u_loc, ctx)
+                return jax.vmap(local_jac, in_axes=(-1, -1), out_axes=-1)(
+                    u_loc, ctx
+                )
 
             blocks.append(term_blocks(term, u_p))
         return blocks
@@ -235,10 +258,14 @@ class ShardedProjectedSystem:
         for i, term in enumerate(self.terms):
 
             @partial(shard_map, mesh=self.mesh,
-                     in_specs=(P("dp"), P("dp"), P("dp"), P()), out_specs=P())
+                     in_specs=(P(None, None, "dp"), self._specs[i].Fidx,
+                               self._specs[i].Fval, P()),
+                     out_specs=P())
             def term_mv(K, Fidx, Fval, xx):
-                xe = (Fval * xx[Fidx]).sum(-1)
-                ye = jnp.einsum("eab,eb->ea", K, xe)
+                xe = (Fval * xx[Fidx]).sum(0)              # (ne, nE)
+                ne = xe.shape[0]
+                # unrolled tiny contraction (see ops/assembly.Form.matvec)
+                ye = sum(K[:, b, :] * xe[b][None, :] for b in range(ne))
                 contrib = self._scatter_local(Fidx, Fval, ye, self.n)
                 return jax.lax.psum(contrib, "dp")
 
@@ -250,11 +277,13 @@ class ShardedProjectedSystem:
         for i, term in enumerate(self.terms):
 
             @partial(shard_map, mesh=self.mesh,
-                     in_specs=(P("dp"), P("dp"), P("dp")), out_specs=P())
+                     in_specs=(P(None, None, "dp"), self._specs[i].Fidx,
+                               self._specs[i].Fval),
+                     out_specs=P())
             def term_diag(K, Fidx, Fval):
-                eq = Fidx[:, :, :, None, None] == Fidx[:, None, None, :, :]
+                eq = Fidx[:, :, None, None, :] == Fidx[None, None, :, :, :]
                 T = jnp.einsum(
-                    "eab,eaKbL,ebL->eaK", K, eq.astype(K.dtype), Fval
+                    "abE,KaLbE,LbE->KaE", K, eq.astype(K.dtype), Fval
                 ) * Fval
                 dd = jax.ops.segment_sum(
                     T.reshape(-1), Fidx.reshape(-1), num_segments=self.n

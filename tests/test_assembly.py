@@ -30,7 +30,7 @@ def test_p1_stiffness_unit_triangle():
     V = FunctionSpace(mesh, 1)
     dom = build_cell_domain(V, np.array([0]), 2)
     form = Form(V, [Term(dom, laplace_kernel)])
-    K = form.jacobian_blocks(jnp.zeros(3))[0][0]
+    K = form.jacobian_blocks(jnp.zeros(3))[0][..., 0]
     # classic P1 stiffness on the unit right triangle
     expected = np.array([[1.0, -0.5, -0.5], [-0.5, 0.5, 0.0], [-0.5, 0.0, 0.5]])
     assert np.allclose(np.asarray(K), expected, atol=1e-14)
@@ -41,7 +41,7 @@ def test_p1_mass_unit_triangle():
     V = FunctionSpace(mesh, 1)
     dom = build_cell_domain(V, np.array([0]), 2)
     form = Form(V, [Term(dom, mass_kernel)])
-    K = form.jacobian_blocks(jnp.zeros(3))[0][0]
+    K = form.jacobian_blocks(jnp.zeros(3))[0][..., 0]
     expected = (1 / 24) * np.array([[2, 1, 1], [1, 2, 1], [1, 1, 2]])
     assert np.allclose(np.asarray(K), expected, atol=1e-14)
 

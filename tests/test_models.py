@@ -159,4 +159,4 @@ def test_shell_energy_hessian_symmetry():
     u = jnp.zeros(prob.space.n_dofs)
     blocks = prob.form.jacobian_blocks(u, params={"t": jnp.asarray(0.0)})
     K = np.asarray(blocks[0])
-    assert np.allclose(K, np.swapaxes(K, 1, 2), atol=1e-8 * np.abs(K).max())
+    assert np.allclose(K, np.swapaxes(K, 0, 1), atol=1e-8 * np.abs(K).max())
