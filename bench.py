@@ -97,8 +97,9 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             A.mv_multi, shape, radius=2, dtype=jnp.float64
         )
 
-    @jax.jit
     def build_mg(S32):
+        # NOT wrapped in jit: the constructor jits one graph per level
+        # (a monolithic hierarchy graph overflows the remote compiler)
         return StencilMultigrid(S32)
 
     @jax.jit

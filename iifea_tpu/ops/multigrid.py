@@ -52,6 +52,32 @@ def _prolong(xc2: jnp.ndarray) -> jnp.ndarray:
     return y[0, 0]
 
 
+@jax.jit
+def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
+    """Galerkin coarse operator R A P, re-probed into stencil form."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+
+    def rap_multi(Xc):
+        cols = []
+        for c in range(Xc.shape[0]):
+            xc2 = Xc[c].reshape(cshape)
+            xf = _prolong(xc2)
+            yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
+            cols.append(_restrict(yf).reshape(-1))
+        return jnp.stack(cols, axis=0)
+
+    return StencilOperator2D.probe_multi(
+        rap_multi, cshape, radius=fine.radius, dtype=fine.dtype
+    )
+
+
+@jax.jit
+def _invd_plane(S: "StencilOperator2D") -> jnp.ndarray:
+    """Tile-padded 1/diag plane (loop-invariant smoother operand)."""
+    d = S.diag()
+    return S.pad_plane(1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0))
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilMultigrid:
     """Symmetric V-cycle preconditioner for a StencilOperator2D.
@@ -85,33 +111,13 @@ class StencilMultigrid:
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_sweeps = coarse_sweeps
+        # each coarsening level is its own jitted graph (keyed on the level
+        # shape): one monolithic hierarchy-build graph overflows the remote
+        # TPU compile helper at bench scale
         self.levels = [S]
         while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
-            fine = self.levels[-1]
-            cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
-
-            # Galerkin coarse operator R A P, probed on stacked (k, n) vectors
-            def rap_multi(Xc, fine=fine, cshape=cshape):
-                cols = []
-                for c in range(Xc.shape[0]):
-                    xc2 = Xc[c].reshape(cshape)
-                    xf = _prolong(xc2)
-                    yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
-                    cols.append(_restrict(yf).reshape(-1))
-                return jnp.stack(cols, axis=0)
-
-            Sc = StencilOperator2D.probe_multi(
-                rap_multi, cshape, radius=fine.radius,
-                dtype=fine.dtype,
-            )
-            self.levels.append(Sc)
-
-        self.inv_diags = []
-        for S_l in self.levels:
-            d = S_l.diag()
-            invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
-            # stored as a tile-padded plane: loop-invariant smoother operand
-            self.inv_diags.append(S_l.pad_plane(invd))
+            self.levels.append(_coarsen(self.levels[-1]))
+        self.inv_diags = [_invd_plane(S_l) for S_l in self.levels]
 
     # -- cycle ------------------------------------------------------------------
 
