@@ -290,3 +290,47 @@ def immersed_square_problem(
         dtype=dtype,
     )
     return mesh_f, M
+
+
+def immersed_cube_problem(
+    n_fg: int,
+    n_bg: int,
+    L: float = 2.0,
+    angle: float = 30.0,
+    half_width: float = 0.6,
+    degree: int = 1,
+    n_fields: int = 1,
+    dtype=np.float64,
+):
+    """3D analog of immersed_square_problem: a rotated cube immersed in a
+    structured tet block (the reference's cube workloads, poisson --dim 3).
+
+    Background node ids follow box_mesh row-major numbering
+    (id = (i·(n_bg+1) + j)·(n_bg+1) + k), the layout StencilOperator3D
+    expects.
+    """
+    from iifea_tpu.mesh.core import FunctionSpace
+
+    mesh_f = box_mesh((-L / 2,) * 3, (L / 2,) * 3, n_fg, n_fg, n_fg)
+    cent = mesh_f.cell_coords.mean(1)
+    a = np.deg2rad(angle)
+    ca, sa = np.cos(a), np.sin(a)
+    # rotate about z then y (generate_unfitted_mesh convention)
+    u = ca * cent[:, 0] + sa * cent[:, 1]
+    v = -sa * cent[:, 0] + ca * cent[:, 1]
+    w = cent[:, 2]
+    u2 = ca * u + sa * w
+    w2 = -sa * u + ca * w
+    material = np.where(
+        (np.abs(u2) <= half_width) & (np.abs(v) <= half_width)
+        & (np.abs(w2) <= half_width), 2, 1
+    ).astype(np.int32)
+    mesh_f = Mesh(mesh_f.coords, mesh_f.cells, material)
+    mesh_b = box_mesh((-L / 2,) * 3, (L / 2,) * 3, n_bg, n_bg, n_bg)
+
+    Vf = FunctionSpace(mesh_f, degree=degree, n_fields=1)
+    M = transfer_matrix_simplex(
+        mesh_b, np.asarray(Vf.node_coords), degree=degree, n_fields=n_fields,
+        dtype=dtype,
+    )
+    return mesh_f, M

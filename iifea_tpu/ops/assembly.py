@@ -477,6 +477,49 @@ class Form:
             blocks.append(K)
         return blocks
 
+    def jacobian_and_residual(self, u, aux=None, params=None, chunk=None):
+        """One fused pass per term: (blocks, assembled residual).
+
+        The dof gathers, quadrature geometry, and kernel subexpressions are
+        shared between the primal and the jacfwd tangents (XLA CSE), saving
+        a full assembly sweep vs calling jacobian_blocks + residual."""
+        aux = aux or {}
+        blocks = []
+        r = jnp.zeros(self.n_dofs, dtype=u.dtype)
+        for dom, kern in self.terms:
+            u_loc = self._gather(dom, u)
+            aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
+
+            def local(ul, al, c, kern=kern):
+                nb, nF = ul.shape
+
+                def flat_res(uf):
+                    return kern(uf.reshape(nb, nF), al, c, params).reshape(-1)
+
+                uf = ul.reshape(-1)
+                return jax.jacfwd(flat_res)(uf), flat_res(uf)
+
+            nE = u_loc.shape[-1]
+            vloc = jax.vmap(local, in_axes=(-1, -1, -1), out_axes=(-1, -1))
+            data, make_ctx = dom.per_elem()
+            if chunk is None or nE <= chunk:
+                K, rl = vloc(u_loc, aux_loc, make_ctx(data))
+            else:
+                tree_c = _chunk_last((u_loc, aux_loc, data), chunk, nE)
+
+                def one(chunk_tree):
+                    ul, al, d = chunk_tree
+                    return vloc(ul, al, make_ctx(d))
+
+                Kc, rc = jax.lax.map(one, tree_c)
+                K = jnp.moveaxis(Kc, 0, -2).reshape(
+                    Kc.shape[1], Kc.shape[2], -1
+                )[..., :nE]
+                rl = jnp.moveaxis(rc, 0, -2).reshape(rc.shape[1], -1)[:, :nE]
+            blocks.append(K)
+            r = r + gather_scatter(dom.scat_gidx, rl.reshape(-1, nE).reshape(-1))
+        return blocks, r
+
     # The tiny-ne contractions below are unrolled as elementwise FMAs over
     # the long element axis rather than einsum: a batched dot_general with
     # a 3..18-wide contraction gets a (8,128)-tiled minor layout on the tiny

@@ -54,20 +54,20 @@ def _prolong(xc2: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
-    """Galerkin coarse operator R A P, re-probed into stencil form."""
+    """Galerkin coarse operator R A P, re-probed into stencil form.
+
+    The (2r+1)² probe columns go through ONE vmapped prolong->A->restrict
+    batch (the stencil apply and transfer convolutions batch cleanly on the
+    VPU) instead of a sequential per-column loop."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
 
-    def rap_multi(Xc):
-        cols = []
-        for c in range(Xc.shape[0]):
-            xc2 = Xc[c].reshape(cshape)
-            xf = _prolong(xc2)
-            yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
-            cols.append(_restrict(yf).reshape(-1))
-        return jnp.stack(cols, axis=0)
+    def rap_one(xc):
+        xf = _prolong(xc.reshape(cshape))
+        yf = fine.mv_ref(xf.reshape(-1)).reshape(fine.shape)
+        return _restrict(yf).reshape(-1)
 
     return StencilOperator2D.probe_multi(
-        rap_multi, cshape, radius=fine.radius, dtype=fine.dtype
+        jax.vmap(rap_one), cshape, radius=fine.radius, dtype=fine.dtype
     )
 
 

@@ -107,7 +107,9 @@ class StencilOperator2D:
             ],
             axis=0,
         )                                                       # (m², n)
-        Y = matvec_multi(X)                                     # (m², n)
+        # the operator may compute in a wider dtype (e.g. f64 extraction
+        # weights promoting an f32 probe): coefficients honor `dtype`
+        Y = matvec_multi(X).astype(dtype)                       # (m², n)
 
         # pad to phase-aligned blocks and slice per (phase, offset)
         nxp = -(-nx1 // m) * m
@@ -241,6 +243,144 @@ class StencilOperator2D:
         for _ in range(n_checks):
             x = jnp.asarray(
                 rng.standard_normal(self.n).astype(self.cp.dtype)
+            )
+            y_ref = matvec(x)
+            y = self.mv(x)
+            num = float(jnp.linalg.norm(y - y_ref))
+            den = float(jnp.linalg.norm(y_ref)) or 1.0
+            worst = max(worst, num / den)
+        return worst
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilOperator3D:
+    """A_b in variable-coefficient stencil form on an (nx+1, ny+1, nz+1)
+    lattice (mesh.generators.box_mesh numbering: id = (i·ny1 + j)·nz1 + k).
+
+    The 3D fast path for the reference's cube workloads (poisson --dim 3,
+    biharmonic --dim 3): (2r+1)³ dense shifted multiply-adds replace the
+    gather-bound general projected matvec. Same colored-probing extraction
+    as 2D with (i, j, k) mod-m phases.
+    """
+
+    def __init__(self, coeffs: jnp.ndarray, shape, radius: int):
+        self.coeffs = coeffs          # ((2r+1)³, nx1, ny1, nz1)
+        self.shape = tuple(shape)
+        self.radius = radius
+        self.n = shape[0] * shape[1] * shape[2]
+
+    @property
+    def dtype(self):
+        return self.coeffs.dtype
+
+    def tree_flatten(self):
+        return (self.coeffs,), (self.shape, self.radius)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, radius = aux
+        return cls(leaves[0], shape, radius)
+
+    def astype(self, dtype) -> "StencilOperator3D":
+        return StencilOperator3D(
+            self.coeffs.astype(dtype), self.shape, self.radius
+        )
+
+    @staticmethod
+    def probe_multi(matvec_multi, shape, radius: int = 2,
+                    dtype=jnp.float32) -> "StencilOperator3D":
+        """Extract the (2r+1)³ stencil by one stacked (m³, n) probe."""
+        nx1, ny1, nz1 = shape
+        r = radius
+        m = 2 * r + 1
+        I, J, K = jnp.meshgrid(
+            jnp.arange(nx1), jnp.arange(ny1), jnp.arange(nz1), indexing="ij"
+        )
+        X = jnp.stack(
+            [
+                ((I % m == a) & (J % m == b) & (K % m == c))
+                .astype(dtype).reshape(-1)
+                for a in range(m)
+                for b in range(m)
+                for c in range(m)
+            ],
+            axis=0,
+        )                                                       # (m³, n)
+        Y = matvec_multi(X).astype(dtype)                       # (m³, n)
+
+        nxp = -(-nx1 // m) * m
+        nyp = -(-ny1 // m) * m
+        nzp = -(-nz1 // m) * m
+        Y4 = jnp.pad(
+            Y.reshape(m**3, nx1, ny1, nz1),
+            ((0, 0), (0, nxp - nx1), (0, nyp - ny1), (0, nzp - nz1)),
+        ).reshape(m**3, nxp // m, m, nyp // m, m, nzp // m, m)
+        Cs = []
+        for oi in range(-r, r + 1):
+            for oj in range(-r, r + 1):
+                for ok in range(-r, r + 1):
+                    # blk[Bi, p, Bj, q, Bk, s] = Y4[color(p,q,s), Bi,p, Bj,q, Bk,s]
+                    blk = jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    jnp.stack(
+                                        [
+                                            Y4[
+                                                (((p + oi) % m) * m
+                                                 + ((q + oj) % m)) * m
+                                                + ((s + ok) % m),
+                                                :, p, :, q, :, s,
+                                            ]
+                                            for s in range(m)
+                                        ],
+                                        axis=-1,
+                                    )          # (Bi, Bj, Bk, s)
+                                    for q in range(m)
+                                ],
+                                axis=-1,
+                            )                  # (Bi, Bj, Bk, s, q)
+                            for p in range(m)
+                        ],
+                        axis=-1,
+                    )                          # (Bi, Bj, Bk, s, q, p)
+                    blk = blk.transpose(0, 5, 1, 4, 2, 3)
+                    Cs.append(blk.reshape(nxp, nyp, nzp))
+        C = jnp.stack(Cs)
+        return StencilOperator3D(
+            C[:, :nx1, :ny1, :nz1], shape, r
+        )
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A_b x as (2r+1)³ shifted dense multiply-adds."""
+        nx1, ny1, nz1 = self.shape
+        r = self.radius
+        m = 2 * r + 1
+        x3 = x.reshape(nx1, ny1, nz1)
+        xp = jnp.pad(x3, ((r, r), (r, r), (r, r)))
+        y = jnp.zeros_like(x3)
+        for oi in range(m):
+            for oj in range(m):
+                for ok in range(m):
+                    kk = (oi * m + oj) * m + ok
+                    shifted = jax.lax.dynamic_slice(
+                        xp, (oi, oj, ok), (nx1, ny1, nz1)
+                    )
+                    y = y + self.coeffs[kk] * shifted
+        return y.reshape(-1)
+
+    def diag(self) -> jnp.ndarray:
+        r = self.radius
+        m = 2 * r + 1
+        k0 = (r * m + r) * m + r
+        return self.coeffs[k0].reshape(-1)
+
+    def verify(self, matvec, seed: int = 0, n_checks: int = 2) -> float:
+        rng = np.random.default_rng(seed)
+        worst = 0.0
+        for _ in range(n_checks):
+            x = jnp.asarray(
+                rng.standard_normal(self.n).astype(self.coeffs.dtype)
             )
             y_ref = matvec(x)
             y = self.mv(x)

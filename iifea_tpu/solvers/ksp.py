@@ -8,6 +8,11 @@ Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
          'bicgstab'                          (jit, on device)
          'mumps'/'direct' -> host sparse LU  (SuperLU; SURVEY N5 substitution)
   pc     'jacobi' (exact diagonal of Mᵀ A_f M), 'none'
+         'mg'     geometric multigrid on a lattice background: the projected
+                  operator is probed into stencil form (ops/stencil.py) and
+                  preconditioned by a V-cycle (ops/multigrid.py) — the
+                  TPU-native replacement for the MUMPS/ILU roles on
+                  structured backgrounds; requires ``lattice_shape``.
          ('ASM'/'ICC'/'ILU'/'ILUT' are accepted and degrade to 'jacobi' with a
           warning: incomplete factorizations are inherently sequential and have
           no TPU-native analog.)
@@ -42,6 +47,39 @@ def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     return krylov.gmres(A.mv, b, x0, restart=restart, **kw)
 
 
+def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it):
+    """Stencil-probe the projected operator and MG-precondition the Krylov
+    solve (the 'mg' pc): the bench.py fast path as a library feature."""
+    from iifea_tpu.ops.multigrid import StencilMultigrid
+    from iifea_tpu.ops.stencil import StencilOperator2D, StencilOperator3D
+
+    op = StencilOperator2D if len(lattice_shape) == 2 else StencilOperator3D
+    S = jax.jit(
+        lambda A_: op.probe_multi(
+            A_.mv_multi, tuple(lattice_shape), radius=2, dtype=b.dtype
+        )
+    )(A)
+    mg = StencilMultigrid(S) if len(lattice_shape) == 2 else None
+
+    @partial(jax.jit, static_argnames=("method", "max_it"))
+    def run(S, mgp, b, x0, rtol, atol, method, max_it):
+        if mgp is not None:
+            minv = mgp.minv
+        else:
+            d = S.diag()
+            invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+            minv = lambda r: invd * r
+        kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+        if method == "cg":
+            return krylov.cg(S.mv, b, x0, **kw)
+        return krylov.gmres(S.mv, b, x0, restart=100, **kw)
+
+    return run(
+        S, mg, b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
+        method, int(max_it),
+    )
+
+
 def solve_ksp(
     A: BackgroundOperator,
     b: jnp.ndarray,
@@ -55,6 +93,7 @@ def solve_ksp(
     bfr_tol: float | None = None,
     bfr_b: bool = True,
     monitor: bool = True,
+    lattice_shape: tuple | None = None,
 ):
     """Solve A u = b on the background space. Returns (u, info|None)."""
     method = method or "gmres"
@@ -80,6 +119,16 @@ def solve_ksp(
         return jnp.asarray(u), None
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    if pc == "mg":
+        if lattice_shape is None:
+            raise ValueError("pc='mg' requires lattice_shape=(nx+1, ny+1[, nz+1])")
+        x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it)
+        if monitor:
+            print(
+                f"Converged in {int(info.iters)} iterations. "
+                f"(residual norm {float(info.resnorm):.3e})"
+            )
+        return x, info
     diag = A.diag() if pc == "jacobi" else jnp.ones_like(b)
     x, info = _krylov_solve(
         A, b, x0, diag,

@@ -114,3 +114,25 @@ def test_matvec_transpose_consistency():
     assert np.isclose(
         float(y @ form.matvec(blocks, x)), float(x @ form.matvec_t(blocks, y))
     )
+
+
+def test_jacobian_and_residual_fused_consistency():
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 4)
+    V = FunctionSpace(mesh, 1)
+    dom = build_cell_domain(V, np.arange(mesh.n_cells), 2)
+
+    def nonlinear_kernel(u_loc, aux_loc, ctx, params):
+        uq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+        gu = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+        r = jnp.einsum("q,q,qd,qbd->b", ctx.w, 1 + uq**2, gu, ctx.gphi)
+        return r[:, None]
+
+    form = Form(V, [Term(dom, nonlinear_kernel)])
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(V.n_dofs) * 0.3)
+    for chunk in (None, 7):
+        blocks, r = form.jacobian_and_residual(u, chunk=chunk)
+        K_ref = form.jacobian_blocks(u)[0]
+        r_ref = form.residual(u)
+        assert np.allclose(np.asarray(blocks[0]), np.asarray(K_ref), atol=1e-13)
+        assert np.allclose(np.asarray(r), np.asarray(r_ref), atol=1e-13)
