@@ -96,8 +96,9 @@ class CellDomain:
     phi: jnp.ndarray          # (nq, nb) static table
     gphi_ref: jnp.ndarray     # (nq, nb, dim)
     hess_ref: jnp.ndarray     # (nq, nb, dim, dim)
-    scat_gidx: jnp.ndarray    # (Kmax, n_dofs) transpose-gather indices (+1,
+    scat_gidx: jnp.ndarray    # (Kmax, T) transpose-gather indices (+1,
                               # 0 = padding) — scatter-free assembly
+    scat_touched: jnp.ndarray | None  # touched dof ids (compact table) or None
 
     @property
     def n_elem(self) -> int:
@@ -145,6 +146,7 @@ class FacetDomain:
     h: jnp.ndarray            # (nF,) plus-cell diameter
     normalT: jnp.ndarray      # (dim, nF) outward unit normal of plus cell
     scat_gidx: jnp.ndarray
+    scat_touched: jnp.ndarray | None
 
     @property
     def n_elem(self) -> int:
@@ -177,25 +179,63 @@ def _scatter_cache(flat_eldofs: np.ndarray, n_dofs: int):
     it. Device-side accumulation is then ``concat([0], data)[gidx].sum(0)``
     — gathers and a small reduction, the fast path on the VPU. Index 0 is
     the zero sentinel (stored indices are shifted by +1). The table is
-    (Kmax, n_dofs): plane-major so the dof axis rides the lanes.
+    (Kmax, T): plane-major so the dof axis rides the lanes.
+
+    Domains that touch only a small fraction of the dofs (boundary-facet
+    terms: thousands of facets vs millions of dofs) get a COMPACT table over
+    their touched dofs plus the touched-id list — otherwise every operator
+    application would pay a full-width (Kmax, n_dofs) gather to scatter a
+    sliver of data. Returns (gidx, touched); touched is None for full-width.
     """
     ids = np.ascontiguousarray(flat_eldofs.T).ravel()   # a*nE + e order
-    order = np.argsort(ids, kind="stable")
-    sorted_ids = ids[order]
-    counts = np.bincount(ids, minlength=n_dofs)
+    uniq = np.unique(ids) if ids.size else np.zeros(0, np.int64)
+    if uniq.size < n_dofs // 2:
+        touched = uniq.astype(np.int32)
+        remap = np.zeros(n_dofs, dtype=np.int64)
+        remap[uniq] = np.arange(uniq.size)
+        cols = remap[ids]
+        width = uniq.size
+    else:
+        touched = None
+        cols = ids
+        width = n_dofs
+    order = np.argsort(cols, kind="stable")
+    sorted_cols = cols[order]
+    counts = np.bincount(cols, minlength=width)
     kmax = max(int(counts.max()) if counts.size else 1, 1)
-    starts = np.zeros(n_dofs, dtype=np.int64)
+    starts = np.zeros(width, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    pos = np.arange(ids.size, dtype=np.int64) - starts[sorted_ids]
-    gidx = np.zeros((kmax, n_dofs), dtype=np.int32)
-    gidx[pos, sorted_ids] = (order + 1).astype(np.int32)
-    return jnp.asarray(gidx)
+    pos = np.arange(cols.size, dtype=np.int64) - starts[sorted_cols]
+    gidx = np.zeros((kmax, width), dtype=np.int32)
+    gidx[pos, sorted_cols] = (order + 1).astype(np.int32)
+    return jnp.asarray(gidx), (
+        jnp.asarray(touched) if touched is not None else None
+    )
 
 
 def gather_scatter(gidx: jnp.ndarray, data_flat: jnp.ndarray) -> jnp.ndarray:
     """Accumulate SoA-flattened (a*nE+e) element data into dof planes."""
     padded = jnp.concatenate([jnp.zeros(1, data_flat.dtype), data_flat])
     return padded[gidx].sum(axis=0)
+
+
+def scatter_into(y, domain, data_flat):
+    """y += scatter(data) honoring the domain's compact touched-dof table."""
+    contrib = gather_scatter(domain.scat_gidx, data_flat)
+    if domain.scat_touched is None:
+        return y + contrib
+    # unique indices: XLA lowers this to an efficient one-pass scatter-add
+    return y.at[..., domain.scat_touched].add(contrib)
+
+
+def scatter_into_multi(Y, domain, data):
+    """Stacked variant: data (k, positions); Y (k, n_dofs)."""
+    k = data.shape[0]
+    padded = jnp.concatenate([jnp.zeros((k, 1), data.dtype), data], axis=1)
+    contrib = jnp.take(padded, domain.scat_gidx, axis=1).sum(axis=1)
+    if domain.scat_touched is None:
+        return Y + contrib
+    return Y.at[:, domain.scat_touched].add(contrib)
 
 
 def _chunk_last(tree, chunk: int, nE: int):
@@ -242,7 +282,7 @@ def build_cell_domain(
     xq = np.einsum("qv,Evd->Eqd", bary, verts)
     eldofs = np.asarray(space.cell_dofs)[cell_ids]
     fl = flat_dofs(eldofs, space.n_fields)
-    gidx = _scatter_cache(fl, space.n_dofs)
+    gidx, touched = _scatter_cache(fl, space.n_dofs)
     dom = CellDomain(
         eldofsT=jnp.asarray(np.ascontiguousarray(fl.T)),
         JinvT=jnp.asarray(
@@ -257,6 +297,7 @@ def build_cell_domain(
         gphi_ref=jnp.asarray(gphi_ref.astype(dtype)),
         hess_ref=jnp.asarray(hess_ref.astype(dtype)),
         scat_gidx=gidx,
+        scat_touched=touched,
     )
     dom.flat_eldofs_np = fl  # host copy: avoids device downloads in setup paths
     return dom
@@ -352,7 +393,7 @@ def build_facet_domain(
     w = fwq[None, :] * meas[:, None]
     eldofs = np.asarray(space.cell_dofs)[plus_cell]
     fl = flat_dofs(eldofs, space.n_fields)
-    gidx = _scatter_cache(fl, space.n_dofs)
+    gidx, touched = _scatter_cache(fl, space.n_dofs)
 
     def soa(a):
         return jnp.asarray(
@@ -369,6 +410,7 @@ def build_facet_domain(
         h=jnp.asarray(mesh.cell_diameters[plus_cell].astype(dtype)),
         normalT=soa(nrm),
         scat_gidx=gidx,
+        scat_touched=touched,
     )
     dom.flat_eldofs_np = fl
     return dom
@@ -417,9 +459,9 @@ class Form:
         nb = ne // self.n_fields
         return vec[domain.eldofsT].reshape(nb, self.n_fields, nE)
 
-    def _scatter(self, domain, r_loc):
+    def _scatter_into(self, y, domain, r_loc):
         nE = r_loc.shape[-1]
-        return gather_scatter(domain.scat_gidx, r_loc.reshape(-1, nE).reshape(-1))
+        return scatter_into(y, domain, r_loc.reshape(-1, nE).reshape(-1))
 
     def residual(self, u, aux=None, params=None):
         aux = aux or {}
@@ -431,7 +473,7 @@ class Form:
             r_loc = jax.vmap(kern, in_axes=(-1, -1, -1, None), out_axes=-1)(
                 u_loc, aux_loc, ctx, params
             )
-            r = r + self._scatter(dom, r_loc)
+            r = self._scatter_into(r, dom, r_loc)
         return r
 
     def jacobian_blocks(self, u, aux=None, params=None, chunk=None):
@@ -517,7 +559,7 @@ class Form:
                 )[..., :nE]
                 rl = jnp.moveaxis(rc, 0, -2).reshape(rc.shape[1], -1)[:, :nE]
             blocks.append(K)
-            r = r + gather_scatter(dom.scat_gidx, rl.reshape(-1, nE).reshape(-1))
+            r = scatter_into(r, dom, rl.reshape(-1, nE).reshape(-1))
         return blocks, r
 
     # The tiny-ne contractions below are unrolled as elementwise FMAs over
@@ -534,7 +576,7 @@ class Form:
             xe = x[dom.eldofsT]                           # (ne, nE)
             ne = xe.shape[0]
             ye = sum(K[:, b, :] * xe[b][None, :] for b in range(ne))
-            y = y + gather_scatter(dom.scat_gidx, ye.reshape(-1))
+            y = scatter_into(y, dom, ye.reshape(-1))
         return y
 
     def matvec_multi(self, blocks, X):
@@ -547,11 +589,7 @@ class Form:
             ye = sum(
                 K[None, :, b, :] * xe[:, b, None, :] for b in range(ne)
             )                                             # (k, ne, nE)
-            data = ye.reshape(k, -1)
-            padded = jnp.concatenate(
-                [jnp.zeros((k, 1), data.dtype), data], axis=1
-            )
-            Y = Y + jnp.take(padded, dom.scat_gidx, axis=1).sum(axis=1)
+            Y = scatter_into_multi(Y, dom, ye.reshape(k, -1))
         return Y
 
     def matvec_t(self, blocks, x):
@@ -561,7 +599,7 @@ class Form:
             xe = x[dom.eldofsT]
             ne = xe.shape[0]
             ye = sum(K[a, :, :] * xe[a][None, :] for a in range(ne))
-            y = y + gather_scatter(dom.scat_gidx, ye.reshape(-1))
+            y = scatter_into(y, dom, ye.reshape(-1))
         return y
 
 

@@ -95,3 +95,59 @@ def test_device_count_invariance(setup, n_dev):
     u_p, _ = step(jnp.zeros(M.n_bg_dofs))
     e = prob.error_norms(M.mv(u_p))
     assert abs(e["L2"] - 0.0329) < 0.02  # stable across partitionings
+
+
+@needs_devices
+def test_sharded_stencil_mv_matches_single(setup):
+    from iifea_tpu.ops.stencil import StencilOperator2D
+    from iifea_tpu.parallel.stencil import ShardedStencil2D
+
+    prob, M = setup
+    n_bg = 12
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+    S = StencilOperator2D.probe(A.mv, (n_bg + 1, n_bg + 1), radius=2,
+                                dtype=jnp.float64)
+    mesh = make_device_mesh(8)
+    Ssh = ShardedStencil2D(S, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(S.n))
+    y_ref = np.asarray(S.mv_ref(x))
+    y_sh = np.asarray(Ssh.mv(x))
+    assert np.allclose(y_sh, y_ref, atol=1e-12 * max(np.abs(y_ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_stencil_cg(setup):
+    from iifea_tpu.ops.stencil import StencilOperator2D
+    from iifea_tpu.parallel.stencil import ShardedStencil2D
+    from iifea_tpu.solvers import krylov
+
+    prob, M = setup
+    n_bg = 12
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    A = BackgroundOperator(prob.form, blocks, M)
+    b = M.rmv(-prob.form.residual(u0))
+    S = StencilOperator2D.probe(A.mv, (n_bg + 1, n_bg + 1), radius=2,
+                                dtype=jnp.float64)
+    mesh = make_device_mesh(8)
+    Ssh = ShardedStencil2D(S, mesh)
+    d2 = Ssh.diag2()
+    invd2 = 1.0 / jnp.where(jnp.abs(d2) > 0, d2, 1.0)
+    b2 = Ssh.shard_vec(b)
+
+    @jax.jit
+    def solve(b2):
+        return krylov.cg(Ssh.mv2, b2, minv=lambda r: invd2 * r,
+                         rtol=1e-11, max_it=2000)
+
+    x2, info = solve(b2)
+    assert bool(info.converged)
+    x_ref, _ = krylov.cg(S.mv, b, minv=lambda r: r * (1.0 / jnp.where(
+        jnp.abs(S.diag()) > 0, S.diag(), 1.0)), rtol=1e-11, max_it=2000)
+    d = np.asarray(S.diag())
+    mask = np.abs(d) > 0
+    got = np.asarray(Ssh.unshard_vec(x2))[mask]
+    ref = np.asarray(x_ref)[mask]
+    assert np.allclose(got, ref, atol=1e-7 * max(np.abs(ref).max(), 1))
