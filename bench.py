@@ -2,17 +2,19 @@
 """Headline benchmark (BASELINE.md north star).
 
 Immersed Poisson on a synthetic MORIS-style cut square: assemble + Galerkin
-projection (Mᵀ A_f M, matrix-free) + Jacobi-PCG at >= 1M background DOFs on
-one TPU chip, to < 1e-10 relative (f64) residual, vs the reference-equivalent
-CPU pipeline (scipy CSR assemble + PtAP + Jacobi-PCG — the same algorithm
-FEniCS+PETSc runs, minus MPI), executed in a subprocess on this host.
+projection (Mᵀ A_f M) + solve at >= 1M background DOFs on one TPU chip, to
+< 1e-10 relative (f64) residual, vs the reference-equivalent CPU pipeline
+(scipy CSR assemble + PtAP + Jacobi-PCG — the same algorithm FEniCS+PETSc
+runs, minus MPI), executed in a subprocess on this host.
 
-Precision strategy (TPU has no native f64): the hot CG loop runs in f32;
-mixed-precision iterative refinement recomputes the residual with an
-f64-assembled operator (emulated f64, a few passes) and re-solves the
-correction in f32, converging to < 1e-10 relative f64 residual. All casts
-happen host-side (the axon remote-compile tunnel makes per-array device casts
-pathologically slow).
+TPU pipeline (see PERF.md for the phase breakdown):
+  1. fused f64 element Jacobians + residual (autodiff, lax.map-chunked);
+  2. f32 stencil probe of the projected operator (one stacked 25-RHS
+     general apply — ops/stencil.py) + geometric multigrid hierarchy;
+  3. f32 MG-PCG (Pallas stencil kernels), iteratively refined against the
+     true f64 operator via general matrix-free residuals until the relative
+     f64 residual is < 1e-10 (TPU f64 is emulated: it is kept off the hot
+     loop and pays only ~2 applications per solve).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <tpu seconds>, "unit": "s", "vs_baseline": <cpu/tpu>}

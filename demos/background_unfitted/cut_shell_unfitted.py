@@ -11,7 +11,6 @@ structured foreground mesh, and the background is the native B-spline space
     python3 demos/background_unfitted/cut_shell_unfitted.py --ref 4 --steps 10
 """
 import argparse
-import math
 import os
 import sys
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from iifea_tpu.ops.assembly import Form
 from iifea_tpu.ops.extraction import ExtractionOperator
-from iifea_tpu.ops.projection import BackgroundOperator, assemble_background_system
+from iifea_tpu.ops.projection import BackgroundOperator
 from iifea_tpu.solvers.ksp import solve_ksp
 from iifea_tpu.solvers.trim import apply_trim_rhs, mask_from_ids, trim_mask_from_diag
 from iifea_tpu.utils.logging import log_info

@@ -110,3 +110,30 @@ def test_solve_ksp_mg_pc():
     scale = max(float(jnp.abs(x_j).max()), 1.0)
     assert np.allclose(np.asarray(x_mg)[mask], np.asarray(x_j)[mask],
                        atol=1e-6 * scale)
+
+
+def test_solve_ksp_mg_pc_3d():
+    """pc='mg' on a 3D lattice (stencil probe + stencil-Jacobi)."""
+    from iifea_tpu.mesh.generators import immersed_cube_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    n_bg = 6
+    mesh_f, M = immersed_cube_problem(n_fg=10, n_bg=n_bg)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    x_mg, info = solve_ksp(
+        A, b, method="cg", pc="mg", rtol=1e-10,
+        lattice_shape=(n_bg + 1,) * 3, monitor=False,
+    )
+    assert bool(info.converged)
+    x_j, _ = solve_ksp(A, b, method="cg", pc="jacobi", rtol=1e-10,
+                       monitor=False)
+    d = np.asarray(A.diag())
+    mask = np.abs(d) > 0
+    scale = max(float(jnp.abs(x_j).max()), 1.0)
+    assert np.allclose(np.asarray(x_mg)[mask], np.asarray(x_j)[mask],
+                       atol=1e-6 * scale)
