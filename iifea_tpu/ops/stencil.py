@@ -253,6 +253,159 @@ class StencilOperator2D:
 
 
 @jax.tree_util.register_pytree_node_class
+class StencilOperatorBlock2D:
+    """Block (multi-field) stencil operator on an (nx+1, ny+1) lattice.
+
+    Extends the scalar fast path to vector problems (elasticity, NS-VMS) on
+    lattice backgrounds. Background dofs are field-blocked
+    (bg_id = node + field*m, common.py:703), so the solution reshapes to
+    (nF, nx1, ny1) planes and
+
+        y[f1] = Σ_{f2} Σ_{|d|<=r} C[f1, f2, d] ⊙ shift_d(x[f2])
+
+    — nF² variable-coefficient stencils, still pure shifted FMAs. Probing
+    uses nF·(2r+1)² colors (field indicator × lattice phase): same-color
+    dofs have disjoint stencil neighborhoods, so ONE stacked multi-RHS
+    apply recovers every block coefficient exactly.
+    """
+
+    def __init__(self, coeffs: jnp.ndarray, shape, radius: int):
+        self.coeffs = coeffs          # (nF, nF, (2r+1)², nx1, ny1)
+        self.shape = tuple(shape)
+        self.radius = radius
+        self.n_fields = coeffs.shape[0]
+        self.nn = shape[0] * shape[1]
+        self.n = self.n_fields * self.nn
+
+    @property
+    def dtype(self):
+        return self.coeffs.dtype
+
+    def tree_flatten(self):
+        return (self.coeffs,), (self.shape, self.radius)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, radius = aux
+        return cls(leaves[0], shape, radius)
+
+    def astype(self, dtype) -> "StencilOperatorBlock2D":
+        return StencilOperatorBlock2D(
+            self.coeffs.astype(dtype), self.shape, self.radius
+        )
+
+    @staticmethod
+    def probe_multi(matvec_multi, shape, n_fields: int, radius: int = 2,
+                    dtype=jnp.float32) -> "StencilOperatorBlock2D":
+        nx1, ny1 = shape
+        nn = nx1 * ny1
+        r = radius
+        m = 2 * r + 1
+        I, J = jnp.meshgrid(jnp.arange(nx1), jnp.arange(ny1), indexing="ij")
+        combs = [
+            ((I % m == a) & (J % m == b)).astype(dtype).reshape(-1)
+            for a in range(m)
+            for b in range(m)
+        ]
+        zero = jnp.zeros(nn, dtype)
+        X = jnp.stack(
+            [
+                jnp.concatenate(
+                    [c if f2 == f else zero for f in range(n_fields)]
+                )
+                for f2 in range(n_fields)
+                for c in combs
+            ],
+            axis=0,
+        )                                      # (nF·m², nF·nn)
+        Y = matvec_multi(X).astype(dtype)
+
+        nxp = -(-nx1 // m) * m
+        nyp = -(-ny1 // m) * m
+        C_blocks = []
+        for f1 in range(n_fields):
+            rows_f1 = []
+            for f2 in range(n_fields):
+                Yb = Y[f2 * m * m:(f2 + 1) * m * m,
+                       f1 * nn:(f1 + 1) * nn]
+                Y3 = jnp.pad(
+                    Yb.reshape(m * m, nx1, ny1),
+                    ((0, 0), (0, nxp - nx1), (0, nyp - ny1)),
+                ).reshape(m * m, nxp // m, m, nyp // m, m)
+                Cs = []
+                for oi in range(-r, r + 1):
+                    for oj in range(-r, r + 1):
+                        rows = []
+                        for p in range(m):
+                            cols = [
+                                Y3[((p + oi) % m) * m + ((q + oj) % m),
+                                   :, p, :, q]
+                                for q in range(m)
+                            ]
+                            rows.append(jnp.stack(cols, axis=-1))
+                        blk = jnp.stack(rows, axis=1)
+                        Cs.append(blk.reshape(nxp, nyp)[:nx1, :ny1])
+                rows_f1.append(jnp.stack(Cs))
+            C_blocks.append(jnp.stack(rows_f1))
+        C = jnp.stack(C_blocks)                # (nF, nF, m², nx1, ny1)
+        return StencilOperatorBlock2D(C, shape, r)
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        nF = self.n_fields
+        nx1, ny1 = self.shape
+        r = self.radius
+        m = 2 * r + 1
+        x3 = x.reshape(nF, nx1, ny1)
+        xp = jnp.pad(x3, ((0, 0), (r, r), (r, r)))
+        y = jnp.zeros_like(x3)
+        for f1 in range(nF):
+            acc = jnp.zeros((nx1, ny1), x.dtype)
+            for f2 in range(nF):
+                for oi in range(m):
+                    for oj in range(m):
+                        k = oi * m + oj
+                        acc = acc + self.coeffs[f1, f2, k] * (
+                            jax.lax.dynamic_slice(
+                                xp[f2], (oi, oj), (nx1, ny1)
+                            )
+                        )
+            y = y.at[f1].set(acc)
+        return y.reshape(-1)
+
+    def diag(self) -> jnp.ndarray:
+        r = self.radius
+        m = 2 * r + 1
+        k0 = r * m + r
+        nF = self.n_fields
+        return jnp.stack(
+            [self.coeffs[f, f, k0] for f in range(nF)]
+        ).reshape(-1)
+
+    def point_block_diag(self) -> jnp.ndarray:
+        """(nF, nF, nn) nodal blocks for block-Jacobi preconditioning."""
+        r = self.radius
+        m = 2 * r + 1
+        k0 = r * m + r
+        return self.coeffs[:, :, k0].reshape(
+            self.n_fields, self.n_fields, self.nn
+        )
+
+    def verify(self, matvec, seed: int = 0, n_checks: int = 2) -> float:
+        rng = np.random.default_rng(seed)
+        worst = 0.0
+        for _ in range(n_checks):
+            x = jnp.asarray(
+                rng.standard_normal(self.n).astype(self.coeffs.dtype)
+            )
+            y_ref = matvec(x)
+            y = self.mv(x)
+            num = float(jnp.linalg.norm(y - y_ref))
+            den = float(jnp.linalg.norm(y_ref)) or 1.0
+            worst = max(worst, num / den)
+        return worst
+
+
+@jax.tree_util.register_pytree_node_class
 class StencilOperator3D:
     """A_b in variable-coefficient stencil form on an (nx+1, ny+1, nz+1)
     lattice (mesh.generators.box_mesh numbering: id = (i·ny1 + j)·nz1 + k).

@@ -34,6 +34,20 @@ from iifea_tpu.solvers.trim import apply_trim_rhs, trim_mask_from_diag
 _NO_TPU_PC = {"ASM", "ICC", "ILU", "ILUT"}
 
 
+def _point_block_inverse(B):
+    """(nF, nF, nn) nodal blocks -> inverses, identity on singular blocks
+    (unsupported background nodes)."""
+    nF, _, nn = B.shape
+    Bn = jnp.moveaxis(B, -1, 0)                    # (nn, nF, nF)
+    eye = jnp.eye(nF, dtype=B.dtype)
+    det = jnp.linalg.det(Bn)
+    safe = jnp.where(
+        (jnp.abs(det) > 1e-300)[:, None, None], Bn, eye[None]
+    )
+    inv = jnp.linalg.inv(safe)
+    return jnp.moveaxis(inv, 0, -1)
+
+
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
 def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     minv = precond.jacobi(diag) if pc == "jacobi" else None
@@ -47,19 +61,59 @@ def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     return krylov.gmres(A.mv, b, x0, restart=restart, **kw)
 
 
-def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it):
+def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
+              n_fields=1):
     """Stencil-probe the projected operator and MG-precondition the Krylov
-    solve (the 'mg' pc): the bench.py fast path as a library feature."""
-    from iifea_tpu.ops.multigrid import StencilMultigrid
-    from iifea_tpu.ops.stencil import StencilOperator2D, StencilOperator3D
+    solve (the 'mg' pc): the bench.py fast path as a library feature.
 
-    op = StencilOperator2D if len(lattice_shape) == 2 else StencilOperator3D
+    Scalar 2D lattices get the geometric-multigrid V-cycle; 3D and block
+    (multi-field) operators currently get stencil-(block-)Jacobi — still the
+    dense shifted-FMA matvec instead of the gather-bound general path."""
+    from iifea_tpu.ops.multigrid import StencilMultigrid
+    from iifea_tpu.ops.stencil import (
+        StencilOperator2D,
+        StencilOperator3D,
+        StencilOperatorBlock2D,
+    )
+
+    shape = tuple(lattice_shape)
+    if n_fields > 1:
+        if len(shape) != 2:
+            raise NotImplementedError("block stencils are 2D-only")
+        S = jax.jit(
+            lambda A_: StencilOperatorBlock2D.probe_multi(
+                A_.mv_multi, shape, n_fields=n_fields, radius=2,
+                dtype=b.dtype,
+            )
+        )(A)
+        mg = None
+        Binv = jax.jit(_point_block_inverse)(S.point_block_diag())
+
+        @partial(jax.jit, static_argnames=("method", "max_it"))
+        def run(S, Binv, b, x0, rtol, atol, method, max_it):
+            nF, _, nn = Binv.shape
+
+            def minv(r):
+                y = jnp.einsum("abn,bn->an", Binv, r.reshape(nF, nn))
+                return y.reshape(-1)
+
+            kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+            if method == "cg":
+                return krylov.cg(S.mv, b, x0, **kw)
+            return krylov.gmres(S.mv, b, x0, restart=100, **kw)
+
+        return run(
+            S, Binv, b, x0, jnp.asarray(rtol, b.dtype),
+            jnp.asarray(atol, b.dtype), method, int(max_it),
+        )
+
+    op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
     S = jax.jit(
         lambda A_: op.probe_multi(
-            A_.mv_multi, tuple(lattice_shape), radius=2, dtype=b.dtype
+            A_.mv_multi, shape, radius=2, dtype=b.dtype
         )
     )(A)
-    mg = StencilMultigrid(S) if len(lattice_shape) == 2 else None
+    mg = StencilMultigrid(S) if len(shape) == 2 else None
 
     @partial(jax.jit, static_argnames=("method", "max_it"))
     def run(S, mgp, b, x0, rtol, atol, method, max_it):
@@ -94,6 +148,7 @@ def solve_ksp(
     bfr_b: bool = True,
     monitor: bool = True,
     lattice_shape: tuple | None = None,
+    n_fields: int = 1,
 ):
     """Solve A u = b on the background space. Returns (u, info|None)."""
     method = method or "gmres"
@@ -122,7 +177,8 @@ def solve_ksp(
     if pc == "mg":
         if lattice_shape is None:
             raise ValueError("pc='mg' requires lattice_shape=(nx+1, ny+1[, nz+1])")
-        x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it)
+        x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol,
+                            max_it, n_fields=n_fields)
         if monitor:
             print(
                 f"Converged in {int(info.iters)} iterations. "

@@ -137,3 +137,49 @@ def test_solve_ksp_mg_pc_3d():
     scale = max(float(jnp.abs(x_j).max()), 1.0)
     assert np.allclose(np.asarray(x_mg)[mask], np.asarray(x_j)[mask],
                        atol=1e-6 * scale)
+
+
+def test_solve_ksp_mg_pc_block():
+    """pc='mg' with n_fields=2: block stencil probe + point-block-Jacobi."""
+    from iifea_tpu.mesh.core import FunctionSpace
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.ops.assembly import Form, Term, build_cell_domain
+    from iifea_tpu.ops.projection import BackgroundOperator
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    n_bg = 10
+    mesh_f, M = immersed_square_problem(n_fg=16, n_bg=n_bg, n_fields=2)
+    V = FunctionSpace(mesh_f, degree=1, n_fields=2)
+
+    def coupled_kernel(u_loc, aux_loc, ctx, params):
+        g0 = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+        g1 = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 1])
+        r0 = jnp.einsum("q,qd,qbd->b", ctx.w, g0 + 0.3 * g1, ctx.gphi)
+        r1 = jnp.einsum("q,qd,qbd->b", ctx.w, g1 + 0.3 * g0, ctx.gphi)
+        u0 = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+        u1 = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 1])
+        xq0 = ctx.x[:, 0]
+        r0 = r0 + jnp.einsum("q,q,qb->b", ctx.w, u0 + 0.5 * u1 - xq0, ctx.phi)
+        r1 = r1 + jnp.einsum("q,q,qb->b", ctx.w, u1 + 0.5 * u0, ctx.phi)
+        return jnp.stack([r0, r1], axis=1)
+
+    cells = np.where(mesh_f.material == 2)[0]
+    dom = build_cell_domain(V, cells, 2)
+    form = Form(V, [Term(dom, coupled_kernel)])
+    u0v = jnp.zeros(V.n_dofs)
+    blocks = form.jacobian_blocks(u0v)
+    A = BackgroundOperator(form, blocks, M)
+    b = M.rmv(-form.residual(u0v))
+
+    x_blk, info = solve_ksp(
+        A, b, method="cg", pc="mg", rtol=1e-10,
+        lattice_shape=(n_bg + 1, n_bg + 1), n_fields=2, monitor=False,
+    )
+    assert bool(info.converged)
+    x_ref, _ = solve_ksp(A, b, method="cg", pc="jacobi", rtol=1e-10,
+                         monitor=False)
+    d = np.asarray(A.diag())
+    mask = np.abs(d) > 0
+    scale = max(float(jnp.abs(x_ref).max()), 1.0)
+    assert np.allclose(np.asarray(x_blk)[mask], np.asarray(x_ref)[mask],
+                       atol=1e-6 * scale)

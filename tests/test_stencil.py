@@ -60,3 +60,42 @@ def test_stencil3d_matches_general_operator():
     err = S.verify(A.mv, n_checks=2)
     assert err < 1e-12, err
     assert np.allclose(np.asarray(S.diag()), np.asarray(A.diag()), atol=1e-12)
+
+
+def test_block_stencil_matches_general_operator():
+    """Coupled 2-field operator on a lattice background: block probing is
+    exact (elasticity/NS fast-path machinery)."""
+    from iifea_tpu.mesh.core import FunctionSpace
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.ops.assembly import Form, Term, build_cell_domain
+    from iifea_tpu.ops.stencil import StencilOperatorBlock2D
+
+    n_bg = 8
+    mesh_f, M = immersed_square_problem(n_fg=14, n_bg=n_bg, n_fields=2)
+    V = FunctionSpace(mesh_f, degree=1, n_fields=2)
+
+    def coupled_kernel(u_loc, aux_loc, ctx, params):
+        # vector Laplacian + symmetric field coupling (grad u0 . grad u1)
+        g0 = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+        g1 = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 1])
+        r0 = jnp.einsum("q,qd,qbd->b", ctx.w, g0 + 0.3 * g1, ctx.gphi)
+        r1 = jnp.einsum("q,qd,qbd->b", ctx.w, g1 + 0.3 * g0, ctx.gphi)
+        u0 = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+        u1 = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 1])
+        r0 = r0 + jnp.einsum("q,q,qb->b", ctx.w, u0 + 0.5 * u1, ctx.phi)
+        r1 = r1 + jnp.einsum("q,q,qb->b", ctx.w, u1 + 0.5 * u0, ctx.phi)
+        return jnp.stack([r0, r1], axis=1)
+
+    cells = np.where(mesh_f.material == 2)[0]
+    dom = build_cell_domain(V, cells, 2)
+    form = Form(V, [Term(dom, coupled_kernel)])
+    blocks = form.jacobian_blocks(jnp.zeros(V.n_dofs))
+    A = BackgroundOperator(form, blocks, M)
+
+    S = StencilOperatorBlock2D.probe_multi(
+        A.mv_multi, (n_bg + 1, n_bg + 1), n_fields=2, radius=2,
+        dtype=jnp.float64,
+    )
+    err = S.verify(A.mv, n_checks=3)
+    assert err < 1e-12, err
+    assert np.allclose(np.asarray(S.diag()), np.asarray(A.diag()), atol=1e-12)
