@@ -57,8 +57,14 @@ def solve_nonlinear(
     estimate_cond_num: bool = False,
     linear_rtol: float = 1e-8,
     linear_atol: float = 1e-9,
+    lattice_shape: tuple | None = None,
+    n_fields: int = 1,
 ):
-    """Newton's iteration; returns (u_p, u_f) with u_f = M u_p kept in sync."""
+    """Newton's iteration; returns (u_p, u_f) with u_f = M u_p kept in sync.
+
+    ``linear_pc='mg'`` + ``lattice_shape`` routes each linearized solve
+    through the stencil fast path (re-probed per Newton iteration, since the
+    Jacobian changes — see solvers/ksp._mg_solve)."""
     aux = aux or {}
     initial_norm = initial_norm_res = None
     converged = False
@@ -83,6 +89,7 @@ def solve_nonlinear(
         du_p, _ = solve_ksp(
             A, R_b, method=linear_method or "gmres", pc=linear_pc or "jacobi",
             monitor=monitor_linear, rtol=linear_rtol, atol=linear_atol,
+            lattice_shape=lattice_shape, n_fields=n_fields,
         )
         current_norm = float(jnp.linalg.norm(du_p))
         current_norm_res = float(jnp.linalg.norm(R_b))

@@ -183,3 +183,48 @@ def test_solve_ksp_mg_pc_block():
     scale = max(float(jnp.abs(x_ref).max()), 1.0)
     assert np.allclose(np.asarray(x_blk)[mask], np.asarray(x_ref)[mask],
                        atol=1e-6 * scale)
+
+
+def test_newton_with_mg_fast_path():
+    """solve_nonlinear(linear_pc='mg'): nonlinear diffusion on a lattice
+    background, each Newton step re-probed onto the stencil fast path."""
+    from iifea_tpu.mesh.core import FunctionSpace
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.ops.assembly import Form, Term, build_cell_domain
+    from iifea_tpu.solvers.newton import solve_nonlinear
+
+    n_bg = 16
+    mesh_f, M = immersed_square_problem(n_fg=24, n_bg=n_bg)
+    V = FunctionSpace(mesh_f, degree=1, n_fields=1)
+
+    def kern(u_loc, aux_loc, ctx, params):
+        uq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+        gu = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+        r = jnp.einsum("q,q,qd,qbd->b", ctx.w, 1 + uq**2, gu, ctx.gphi)
+        # reaction + source so the problem is well-posed without BCs
+        r = r + jnp.einsum("q,q,qb->b", ctx.w, uq - 1.0, ctx.phi)
+        return r[:, None]
+
+    cells = np.where(mesh_f.material == 2)[0]
+    dom = build_cell_domain(V, cells, 3)
+    form = Form(V, [Term(dom, kern)])
+
+    u_p0 = jnp.zeros(M.n_bg_dofs)
+    u_p, u_f = solve_nonlinear(
+        form, M.mv(u_p0), M, u_p0, max_iters=30,
+        relative_tolerance=1e-8, monitor_newton=False,
+        linear_method="cg", linear_pc="mg",
+        lattice_shape=(n_bg + 1, n_bg + 1),
+    )
+    u_p2, _ = solve_nonlinear(
+        form, M.mv(u_p0), M, u_p0, max_iters=30,
+        relative_tolerance=1e-8, monitor_newton=False,
+        linear_method="cg", linear_pc="jacobi",
+    )
+    scale = max(float(jnp.abs(u_p2).max()), 1.0)
+    d = np.abs(np.asarray(
+        __import__("iifea_tpu.ops.projection", fromlist=["BackgroundOperator"])
+        .BackgroundOperator(form, form.jacobian_blocks(u_f), M).diag()
+    )) > 0
+    assert np.allclose(np.asarray(u_p)[d], np.asarray(u_p2)[d],
+                       atol=1e-5 * scale)
