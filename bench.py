@@ -64,6 +64,15 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     mesh_f, prob64, M64 = build_problem(n_bg, np.float64)
     form64 = prob64.form
     shape = (n_bg + 1, n_bg + 1)
+    # gather-free lattice-binned probe tables (ops/lattice_bin.py): static
+    # index structure, built once from mesh+M like the scatter caches
+    from iifea_tpu.ops import lattice_bin
+    try:
+        reducers = lattice_bin.build_binned_projection(
+            form64, M64, shape, dtype=np.float32
+        )
+    except lattice_bin.LatticeBinError:
+        reducers = None
     t_setup = time.time() - t0
 
     # form/M enter as pytree ARGUMENTS: closure capture would bake them into
@@ -95,14 +104,21 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
 
     @jax.jit
     def probe32(form, M, blocks32):
-        # the CG/MG operator only needs f32: probing runs the (slow) general
-        # path once in f32; f64 accuracy enters solely through the general
-        # matrix-free residuals below (true f64 operator, ~2 applications —
-        # 12x cheaper than a 25-column f64 probe)
+        # general-path fallback probe (gather-bound): only used when the
+        # lattice-binned tables could not be built
         A = BackgroundOperator(form, blocks32, M)
         return StencilOperator2D.probe_multi(
             A.mv_multi, shape, radius=2, dtype=jnp.float32
         )
+
+    @jax.jit
+    def probe32_binned(reds, blocks32):
+        # gather-free masked shift-add probe (ops/lattice_bin.py): the
+        # CG/MG operator only needs f32; f64 accuracy enters solely through
+        # the general matrix-free residuals below (true f64 operator, ~2
+        # applications per solve)
+        Y = lattice_bin.probe_y_binned(reds, blocks32)
+        return StencilOperator2D.from_probe_y(Y, shape, radius=2)
 
     @jax.jit
     def downcast_blocks(blocks):
@@ -137,7 +153,10 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         # phase 1: assemble + project (stencil extraction == explicit PtAP)
         blocks64, b64 = assemble64(form64, M64, u64)
         blocks32 = downcast_blocks(blocks64)
-        S32 = probe32(form64, M64, blocks32)
+        if reducers is not None:
+            S32 = probe32_binned(reducers, blocks32)
+        else:
+            S32 = probe32(form64, M64, blocks32)
         mg = build_mg(S32)   # geometric-multigrid hierarchy (Galerkin probes)
         # phase 2: f32 MG-PCG with true-f64 iterative refinement
         x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)

@@ -110,7 +110,20 @@ class StencilOperator2D:
         # the operator may compute in a wider dtype (e.g. f64 extraction
         # weights promoting an f32 probe): coefficients honor `dtype`
         Y = matvec_multi(X).astype(dtype)                       # (m², n)
+        return StencilOperator2D.from_probe_y(Y, shape, radius, dtype)
 
+    @staticmethod
+    def from_probe_y(Y: jnp.ndarray, shape: tuple[int, int], radius: int = 2,
+                     dtype=jnp.float32) -> "StencilOperator2D":
+        """Distribute probe responses Y (m², n) — colors ordered c = a·m + b
+        with the point's phase (i mod m, j mod m) = (a, b) — into stencil
+        coefficient planes. Y may come from probe_multi's general applies or
+        from the gather-free lattice-binned path (ops/lattice_bin.py).
+        """
+        nx1, ny1 = shape
+        r = radius
+        m = 2 * r + 1
+        Y = Y.astype(dtype)
         # pad to phase-aligned blocks and slice per (phase, offset)
         nxp = -(-nx1 // m) * m
         nyp = -(-ny1 // m) * m

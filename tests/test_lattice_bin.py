@@ -1,0 +1,91 @@
+"""Lattice-binned gather-free probe vs the general probe (ops/lattice_bin.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iifea_tpu.mesh.generators import immersed_square_problem
+from iifea_tpu.models.poisson import PoissonProblem
+from iifea_tpu.ops.lattice_bin import (
+    LatticeBinError,
+    LatticeBinnedTerm2D,
+    build_binned_projection,
+    probe_y_binned,
+)
+from iifea_tpu.ops.projection import BackgroundOperator
+from iifea_tpu.ops.stencil import StencilOperator2D
+
+
+def _setup(n_bg=12, n_fg=17, dtype=np.float64):
+    mesh_f, M = immersed_square_problem(
+        n_fg=n_fg, n_bg=n_bg, degree=1, dtype=dtype
+    )
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10, dtype=dtype)
+    return mesh_f, prob, M
+
+
+@pytest.mark.parametrize("n_bg,n_fg", [(12, 17), (16, 23), (9, 12)])
+def test_binned_probe_matches_general(n_bg, n_fg):
+    _, prob, M = _setup(n_bg, n_fg)
+    shape = (n_bg + 1, n_bg + 1)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    A = BackgroundOperator(prob.form, blocks, M)
+
+    S_ref = StencilOperator2D.probe_multi(
+        A.mv_multi, shape, radius=2, dtype=jnp.float64
+    )
+    reducers = build_binned_projection(
+        prob.form, M, shape, radius=2, dtype=np.float64
+    )
+    Y = probe_y_binned(reducers, blocks)
+    S_bin = StencilOperator2D.from_probe_y(Y, shape, radius=2,
+                                           dtype=jnp.float64)
+
+    C_ref = np.asarray(S_ref.coeffs)
+    C_bin = np.asarray(S_bin.coeffs)
+    scale = np.abs(C_ref).max()
+    assert np.allclose(C_bin, C_ref, atol=1e-12 * scale)
+
+    # and the binned stencil reproduces the true operator exactly
+    assert S_bin.verify(A.mv) < 1e-12
+
+
+def test_compact_term_binning():
+    """Facet (sparse-touch) terms auto-select compact cell binning."""
+    _, prob, M = _setup(16, 23)
+    shape = (17, 17)
+    reducers = build_binned_projection(prob.form, M, shape, dtype=np.float64)
+    # the interface facet term touches few cells -> compact
+    assert any(r.cells is not None for r in reducers)
+    # the bulk cell term is dense
+    assert any(r.cells is None for r in reducers)
+
+
+def test_spill_raises():
+    """Foreground elements wider than the background spacing can't bin."""
+    mesh_f, M = immersed_square_problem(n_fg=5, n_bg=12, degree=1)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    with pytest.raises(LatticeBinError):
+        build_binned_projection(prob.form, M, (13, 13), dtype=np.float64)
+
+
+def test_binned_probe_f32_close():
+    """The bench configuration: f32 tables, f32 blocks."""
+    _, prob, M = _setup(16, 23)
+    shape = (17, 17)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = [b.astype(jnp.float32) for b in prob.form.jacobian_blocks(u0)]
+    A64 = BackgroundOperator(
+        prob.form, prob.form.jacobian_blocks(u0), M
+    )
+    S_ref = StencilOperator2D.probe_multi(
+        A64.mv_multi, shape, radius=2, dtype=jnp.float64
+    )
+    reducers = build_binned_projection(prob.form, M, shape, dtype=np.float32)
+    Y = jax.jit(probe_y_binned)(reducers, blocks)
+    S_bin = StencilOperator2D.from_probe_y(Y, shape, radius=2)
+    C_ref = np.asarray(S_ref.coeffs)
+    C_bin = np.asarray(S_bin.coeffs)
+    scale = np.abs(C_ref).max()
+    assert np.allclose(C_bin, C_ref, atol=1e-5 * scale)
