@@ -130,9 +130,12 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         return StencilMultigrid(S32)
 
     @jax.jit
-    def cg32(S32, mg, r):
+    def cg32(S32, mg, r, rtol_pass):
+        # rtol is traced: refinement passes only contract as far as needed
+        # to land below the global f64 target (pass 2 typically needs ~1e-4,
+        # not another full 1e-6 — fewer wasted MG-PCG iterations)
         return krylov.cg(
-            S32.mv, r, minv=mg.minv, rtol=1e-6, atol=1e-30,
+            S32.mv, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
             max_it=500, check_every=4,
         )
 
@@ -171,7 +174,13 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
                 relres = float(rr)
                 if relres < rtol:
                     break
-            dx, info = cg32(S32, mg, r32)
+            # contract only as far as this pass needs: overall target is
+            # rtol relative to b, the current defect is relres — a 0.25x
+            # safety margin absorbs the f32 apply error. Clamp into
+            # [1e-6, 3e-2]: never tighter than the f32 floor, never so loose
+            # the pass is a no-op.
+            rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
+            dx, info = cg32(S32, mg, r32, rtol_pass)
             iters += int(info.iters)
             x64 = accum(x64, dx)
         return x64, relres, iters
@@ -181,6 +190,62 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     jax.block_until_ready(x64)
     _ = float(jnp.linalg.norm(x64))
     t_first = time.time() - t0
+
+    if os.environ.get("IIFEA_BENCH_PHASES"):
+        # per-phase wall clock. Each phase: drain the device queue (readback
+        # of every prior output — block_until_ready does not reliably block
+        # through the axon tunnel, PERF.md), run twice, report the best.
+        def sync(*vs):
+            for v in vs:
+                for leaf in jax.tree_util.tree_leaves(v):
+                    _ = float(jnp.asarray(leaf).reshape(-1)[0])
+
+        ph = {}
+
+        def timed(name, fn, *inputs):
+            best = None
+            out = None
+            for _ in range(2):
+                sync(*inputs)
+                t = time.time()
+                out = fn()
+                sync(out)
+                dt = time.time() - t
+                best = dt if best is None else min(best, dt)
+            ph[name] = best
+            return out
+
+        blocks64, b64 = timed(
+            "assemble64+rhs", lambda: assemble64(form64, M64, u64), u64
+        )
+        blocks32 = timed(
+            "downcast", lambda: downcast_blocks(blocks64), blocks64
+        )
+        S32 = timed(
+            "probe",
+            lambda: (probe32_binned(reducers, blocks32)
+                     if reducers is not None
+                     else probe32(form64, M64, blocks32)),
+            blocks32,
+        )
+        mg = timed("mg_build", lambda: build_mg(S32), S32)
+        r32 = b64.astype(jnp.float32)
+        dx, info = timed(
+            "cg_pass1", lambda: cg32(S32, mg, r32, 1e-6), mg, r32
+        )
+        ph["cg1_iters"] = int(info.iters)
+        x1 = accum(jnp.zeros(M64.n_bg_dofs, jnp.float64), dx)
+        r64, r32b, rr = timed(
+            "residual64",
+            lambda: residual64(form64, M64, blocks64, b64, x1), x1
+        )
+        dx2, info2 = timed(
+            "cg_pass2", lambda: cg32(S32, mg, r32b, 1e-4), r32b
+        )
+        ph["cg2_iters"] = int(info2.iters)
+        print("phases:", json.dumps(
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in ph.items()}), file=sys.stderr)
 
     times = []
     for _ in range(3):
