@@ -69,7 +69,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     from iifea_tpu.ops import lattice_bin
     try:
         reducers = lattice_bin.build_binned_projection(
-            form64, M64, shape, dtype=np.float32
+            form64, M64, shape, dtype=np.float32, df=True
         )
     except lattice_bin.LatticeBinError:
         reducers = None
@@ -102,6 +102,26 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         ])
         return list(blocks), project_rhs(M, sum(rs[1:], rs[0]))
 
+    from iifea_tpu.models.poisson import p1_stiffness_df_arrays
+    _cell_gref = np.asarray(prob64.cell_dom.gphi_ref)
+
+    @jax.jit
+    def assemble_df(form, M, u, cell_JinvT, cell_wdetT, facet_dom):
+        # rhs in true f64 (residual-only sweep — no jacfwd tangents), cell
+        # stiffness via the df fast path (p1_stiffness_df: ~1e-15 of the
+        # autodiff f64 blocks), facet blocks via f64 jacfwd (tiny term)
+        r = form.residual(u)
+        b64 = M.rmv(-r)
+        K_cell = p1_stiffness_df_arrays(cell_JinvT, cell_wdetT, _cell_gref)
+        from iifea_tpu.ops.assembly import Form as _F
+        from iifea_tpu.ops import df as dfm
+        sub = _F.tree_unflatten(
+            ((form.terms[1].kernel,), form.n_dofs, form.n_fields),
+            (facet_dom,),
+        )
+        K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
+        return b64, [K_cell, K_facet]
+
     @jax.jit
     def probe32(form, M, blocks32):
         # general-path fallback probe (gather-bound): only used when the
@@ -112,12 +132,24 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         )
 
     @jax.jit
-    def probe32_binned(reds, blocks32):
-        # gather-free masked shift-add probe (ops/lattice_bin.py): the
-        # CG/MG operator only needs f32; f64 accuracy enters solely through
-        # the general matrix-free residuals below (true f64 operator, ~2
-        # applications per solve)
-        Y = lattice_bin.probe_y_binned(reds, blocks32)
+    def bind_df(reds, blocks64):
+        # split f64 blocks to (hi, lo) f32 pairs and gather them into binned
+        # layout ONCE; the f32 probe reads the hi planes, the ~1e-14 df
+        # applies (refinement residuals) read both — no emulated-f64 general
+        # path anywhere after assembly
+        return lattice_bin.bind_blocks_df_binned(
+            reds, lattice_bin.split_blocks_df(blocks64)
+        )
+
+    @jax.jit
+    def bind_bound(reds, blocks_df):
+        # blocks already df pairs (assemble_df): bin without splitting
+        return lattice_bin.bind_blocks_df_binned(reds, blocks_df)
+
+    @jax.jit
+    def probe32_bound(reds, bound):
+        # gather-free masked shift-add probe (ops/lattice_bin.py)
+        Y = lattice_bin.probe_y_binned_bound(reds, bound)
         return StencilOperator2D.from_probe_y(Y, shape, radius=2)
 
     @jax.jit
@@ -142,9 +174,21 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     @jax.jit
     def residual64(form, M, blocks64, b64, x64):
         # true-f64 residual through the general matrix-free A_b = Mᵀ A_f M
+        # (fallback path when lattice binning is unavailable)
         A = BackgroundOperator(form, blocks64, M)
         r = b64 - A.mv(x64)
         return r, r.astype(jnp.float32), jnp.linalg.norm(r) / jnp.linalg.norm(b64)
+
+    @jax.jit
+    def residual_df(reds, bound, b64, x64):
+        # double-float residual: binned masked-shift apply, ~1e-14 relative
+        # of the true f64 operator (tests/test_lattice_bin.py), no gathers
+        from iifea_tpu.ops import df as dfm
+        x_df = dfm.df_from_f64(x64)
+        y_df = lattice_bin.apply_df_binned(reds, bound, x_df)
+        r_df = dfm.df_sub(dfm.df_from_f64(b64), y_df)
+        r64 = dfm.df_to_f64(r_df)
+        return r64, r_df[0], jnp.linalg.norm(r64) / jnp.linalg.norm(b64)
 
     @jax.jit
     def accum(x64, dx):
@@ -154,21 +198,31 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
 
     def full_solve():
         # phase 1: assemble + project (stencil extraction == explicit PtAP)
-        blocks64, b64 = assemble64(form64, M64, u64)
-        blocks32 = downcast_blocks(blocks64)
         if reducers is not None:
-            S32 = probe32_binned(reducers, blocks32)
+            b64, blocks_df = assemble_df(
+                form64, M64, u64, prob64.cell_dom.JinvT,
+                prob64.cell_dom.wdetT, prob64.facet_dom,
+            )
+            bound = bind_bound(reducers, blocks_df)
+            S32 = probe32_bound(reducers, bound)
         else:
+            blocks64, b64 = assemble64(form64, M64, u64)
+            blocks32 = downcast_blocks(blocks64)
             S32 = probe32(form64, M64, blocks32)
         mg = build_mg(S32)   # geometric-multigrid hierarchy (Galerkin probes)
-        # phase 2: f32 MG-PCG with true-f64 iterative refinement
+        # phase 2: f32 MG-PCG with double-float iterative refinement
         x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
         relres = 1.0
         iters = 0
         for i in range(10):
             if i == 0:
-                # x = 0: the residual IS b — skip one full f64 apply
+                # x = 0: the residual IS b — skip one full apply
                 r32 = b64.astype(jnp.float32)
+            elif reducers is not None:
+                r64, r32, rr = residual_df(reducers, bound, b64, x64)
+                relres = float(rr)
+                if relres < rtol:
+                    break
             else:
                 r64, r32, rr = residual64(form64, M64, blocks64, b64, x64)
                 relres = float(rr)
@@ -215,19 +269,29 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             ph[name] = best
             return out
 
-        blocks64, b64 = timed(
-            "assemble64+rhs", lambda: assemble64(form64, M64, u64), u64
-        )
-        blocks32 = timed(
-            "downcast", lambda: downcast_blocks(blocks64), blocks64
-        )
-        S32 = timed(
-            "probe",
-            lambda: (probe32_binned(reducers, blocks32)
-                     if reducers is not None
-                     else probe32(form64, M64, blocks32)),
-            blocks32,
-        )
+        if reducers is not None:
+            b64, blocks_df = timed(
+                "assemble_df+rhs64",
+                lambda: assemble_df(
+                    form64, M64, u64, prob64.cell_dom.JinvT,
+                    prob64.cell_dom.wdetT, prob64.facet_dom,
+                ),
+                u64,
+            )
+            bound = timed("bind_df", lambda: bind_bound(reducers, blocks_df),
+                          blocks_df)
+            S32 = timed("probe",
+                        lambda: probe32_bound(reducers, bound), bound)
+        else:
+            blocks64, b64 = timed(
+                "assemble64+rhs", lambda: assemble64(form64, M64, u64), u64
+            )
+            blocks32 = timed(
+                "downcast", lambda: downcast_blocks(blocks64), blocks64
+            )
+            S32 = timed(
+                "probe", lambda: probe32(form64, M64, blocks32), blocks32
+            )
         mg = timed("mg_build", lambda: build_mg(S32), S32)
         r32 = b64.astype(jnp.float32)
         dx, info = timed(
@@ -235,10 +299,16 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         )
         ph["cg1_iters"] = int(info.iters)
         x1 = accum(jnp.zeros(M64.n_bg_dofs, jnp.float64), dx)
-        r64, r32b, rr = timed(
-            "residual64",
-            lambda: residual64(form64, M64, blocks64, b64, x1), x1
-        )
+        if reducers is not None:
+            r64, r32b, rr = timed(
+                "residual_df",
+                lambda: residual_df(reducers, bound, b64, x1), x1
+            )
+        else:
+            r64, r32b, rr = timed(
+                "residual64",
+                lambda: residual64(form64, M64, blocks64, b64, x1), x1
+            )
         dx2, info2 = timed(
             "cg_pass2", lambda: cg32(S32, mg, r32b, 1e-4), r32b
         )

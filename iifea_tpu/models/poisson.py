@@ -50,6 +50,63 @@ def source_fn(u_ex):
     return f
 
 
+def p1_stiffness_df(dom):
+    """Element stiffness of a P1 Laplace cell term as a double-float pair
+    (K_hi, K_lo), each (nb, nb, nE) f32.
+
+    ~1e-15-relative agreement with the f64 autodiff blocks at a tiny
+    fraction of the cost: P1 physical gradients are constant per affine
+    element, so K = (Σ_q w_q)·(G Gᵀ) with G = ∇φ_ref·J⁻¹ — a short df
+    arithmetic chain per element instead of emulated-f64 jacfwd
+    (tests/test_lattice_bin.py::test_cell_stiffness_df). The geometry
+    (J⁻¹, w·|detJ|) is setup data; only exact {−1,0,1} reference gradients
+    multiply it, so the df chain is error-free-transform clean.
+    """
+    return p1_stiffness_df_arrays(
+        dom.JinvT, dom.wdetT, np.asarray(dom.gphi_ref)
+    )
+
+
+def p1_stiffness_df_arrays(JinvT, wdetT, gref: np.ndarray):
+    """Array form: (JinvT, wdetT) may be jit tracers; gref is static host
+    data (the tiny reference-gradient table)."""
+    from iifea_tpu.ops import df as dfm
+
+    g0 = gref[0]                        # (nb, dim) constant over q for P1
+    Jh, Jl = dfm.df_from_f64(JinvT)              # (dim, dim, nE)
+    Wh, Wl = dfm.df_from_f64(wdetT.sum(0))       # (nE,)
+    nb, dim = g0.shape
+    # G[a, d] = Σ_e gref[a, e]·Jinv[e, d]; gref entries are exact ints
+    G = []
+    for a in range(nb):
+        row = []
+        for d in range(dim):
+            acc = None
+            for e in range(dim):
+                c = float(g0[a, e])
+                if c == 0.0:
+                    continue
+                t = (c * Jh[e, d], c * Jl[e, d])  # exact for c = ±1
+                acc = t if acc is None else dfm.df_add(acc, t)
+            row.append(acc if acc is not None
+                       else (jnp.zeros_like(Wh), jnp.zeros_like(Wh)))
+        G.append(row)
+    Kh = []
+    Kl = []
+    for a in range(nb):
+        for b in range(nb):
+            acc = None
+            for d in range(dim):
+                t = dfm.df_mul(G[a][d], G[b][d])
+                acc = t if acc is None else dfm.df_add(acc, t)
+            kab = dfm.df_mul((Wh, Wl), acc)
+            Kh.append(kab[0])
+            Kl.append(kab[1])
+    nE = Wh.shape[0]
+    return (jnp.stack(Kh).reshape(nb, nb, nE),
+            jnp.stack(Kl).reshape(nb, nb, nE))
+
+
 class PoissonProblem:
     """Builds the Nitsche-Poisson residual Form on the immersed block."""
 
@@ -133,6 +190,14 @@ class PoissonProblem:
             return r[:, None]
 
         return kern
+
+    # -- double-float fast assembly --------------------------------------------
+
+    def cell_stiffness_df(self):
+        """df element stiffness of the ∇u·∇v cell term; see p1_stiffness_df."""
+        if self.space.degree != 1:
+            raise NotImplementedError("df stiffness covers P1 cells")
+        return p1_stiffness_df(self.cell_dom)
 
     # -- error norms (poisson.py:216-234) --------------------------------------
 

@@ -114,6 +114,14 @@ def df_fma(acc, a, b):
     return df_add(acc, df_mul(a, b))
 
 
+def df_div(a, b):
+    """df / df (one Newton correction on the f32 quotient, ~50 flops)."""
+    q0 = a[0] / b[0]
+    r = df_sub(a, df_mul_f32(b, q0))
+    q1 = (r[0] + r[1]) / b[0]
+    return quick_two_sum(q0, q1)
+
+
 def df_masked(a, mask):
     """Zero a df value where mask is False."""
     return a[0] * mask, a[1] * mask

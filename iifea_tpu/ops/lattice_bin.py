@@ -53,35 +53,41 @@ class LatticeBinnedTerm2D:
     """
 
     def __init__(self, val_b, kappa, phase, perm, shape, meta=None,
-                 cells=None):
+                 cells=None, val_lo=None, rows9=None):
         self.val_b = val_b          # (ne, km, L, nc)
         self.kappa = kappa          # (ne, km, L, nc) int8
         self.phase = phase          # (ne, km, L, nc) int8
         self.perm = perm            # (L, nc) int32, elem id + 1
         self.cells = cells          # None (dense) or (nc,) int32 cell ids
+        self.val_lo = val_lo        # df mode: low f32 parts of the weights
+        self.rows9 = rows9          # compact mode: (9, nc) int32 lattice rows
         self.shape = tuple(shape)
         self.meta = meta
 
     def tree_flatten(self):
-        leaves = (self.val_b, self.kappa, self.phase, self.perm, self.cells)
+        leaves = (self.val_b, self.kappa, self.phase, self.perm, self.cells,
+                  self.val_lo, self.rows9)
         return leaves, (self.shape, self.meta)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        val_b, kappa, phase, perm, cells = leaves
+        val_b, kappa, phase, perm, cells, val_lo, rows9 = leaves
         shape, meta = aux
-        return cls(val_b, kappa, phase, perm, shape, meta, cells)
+        return cls(val_b, kappa, phase, perm, shape, meta, cells,
+                   val_lo, rows9)
 
     # -- host construction ----------------------------------------------------
 
     @staticmethod
     def build(flat_eldofs: np.ndarray, M, shape, radius: int = 2,
-              dtype=np.float32, compact: bool | None = None
-              ) -> "LatticeBinnedTerm2D":
+              dtype=np.float32, compact: bool | None = None,
+              df: bool = False) -> "LatticeBinnedTerm2D":
         """flat_eldofs: (nE, ne) foreground dof ids of the term's elements;
         M: ExtractionOperator (scalar field); shape: (nx1, ny1) lattice.
 
         compact: bin only occupied cells (auto when < 1/4 of cells touched).
+        df: store weights as double-float (hi, lo) f32 pairs, enabling
+        ~1e-14-accurate probing and operator application (ops/df.py).
         Raises LatticeBinError if any element's targets exceed the {0..2}²
         offset window (callers fall back to the general probe).
         """
@@ -96,7 +102,14 @@ class LatticeBinnedTerm2D:
         val = M.val_np
         km = idx.shape[1]
         tidx = idx[eldofs]                                 # (nE, ne, km)
-        tval = val[eldofs].astype(dtype)
+        if df:
+            dtype = np.float32
+            tval64 = val[eldofs].astype(np.float64)
+            tval = tval64.astype(np.float32)
+            tval_lo = (tval64 - tval.astype(np.float64)).astype(np.float32)
+        else:
+            tval = val[eldofs].astype(dtype)
+            tval_lo = None
         valid = tval != 0.0
         ti = tidx // ny1
         tj = tidx - ti * ny1
@@ -157,32 +170,64 @@ class LatticeBinnedTerm2D:
         pha_t[:, :, slot, cell_s] = np.moveaxis(
             ((ti[src] % 5) * 5 + tj[src] % 5).astype(np.int8), 0, -1
         )
+        val_lo_t = None
+        if df:
+            val_lo_t = np.zeros((ne, km, L, nc), dtype=np.float32)
+            val_lo_t[:, :, slot, cell_s] = np.moveaxis(
+                np.where(valid[src], tval_lo[src], 0.0), 0, -1
+            )
+        rows9 = None
+        if cells_arr is not None:
+            base_i = cells_arr.astype(np.int64) // ncy
+            base_j = cells_arr.astype(np.int64) - base_i * ncy
+            rows9 = np.stack([
+                (base_i + d // 3) * ny1 + base_j + d % 3 for d in range(9)
+            ]).astype(np.int32)
         return LatticeBinnedTerm2D(
             jnp.asarray(val_t), jnp.asarray(kap_t), jnp.asarray(pha_t),
             jnp.asarray(perm), shape,
             meta=(ne, km, L, nc),
             cells=jnp.asarray(cells_arr) if cells_arr is not None else None,
+            val_lo=jnp.asarray(val_lo_t) if val_lo_t is not None else None,
+            rows9=jnp.asarray(rows9) if rows9 is not None else None,
         )
 
     # -- device probe ---------------------------------------------------------
+
+    def bind_blocks(self, K: jnp.ndarray) -> jnp.ndarray:
+        """Gather the element Jacobian blocks into binned (ne, ne, L, nc)
+        layout — the single runtime gather of the fast path."""
+        ne = self.meta[0]
+        dt = self.val_b.dtype
+        Kpad = jnp.concatenate(
+            [jnp.zeros((ne, ne, 1), K.dtype), K.astype(dt)], axis=-1
+        )
+        return Kpad[:, :, self.perm]
+
+    def bind_blocks_df(self, K_hi: jnp.ndarray, K_lo: jnp.ndarray):
+        """df variant: one packed gather for the (hi, lo) block pair."""
+        ne = self.meta[0]
+        Khl = jnp.stack([K_hi, K_lo])              # (2, ne, ne, nE)
+        Kpad = jnp.concatenate(
+            [jnp.zeros((2, ne, ne, 1), jnp.float32), Khl], axis=-1
+        )
+        Kb = Kpad[:, :, :, self.perm]              # (2, ne, ne, L, nc)
+        return Kb[0], Kb[1]
 
     def probe_y(self, K: jnp.ndarray) -> jnp.ndarray:
         """This term's Y (25, nx1*ny1): projected operator applied to all 25
         phase-comb probe vectors. K: (ne, ne, nE) element Jacobian blocks.
         """
+        return self.probe_y_bound(self.bind_blocks(K))
+
+    def probe_y_bound(self, Kb: jnp.ndarray) -> jnp.ndarray:
         ne, km, L, nc = self.meta
         nx1, ny1 = self.shape
         ncx, ncy = nx1 - 2, ny1 - 2
         dt = self.val_b.dtype
-        Kpad = jnp.concatenate(
-            [jnp.zeros((ne, ne, 1), K.dtype), K.astype(dt)], axis=-1
-        )
-        Kb = Kpad[:, :, self.perm]                 # (ne, ne, L, nc)
-
         val_b, kappa, phase = self.val_b, self.kappa, self.phase
 
         def one_color(c):
-            c = c.astype(jnp.int8) if hasattr(c, "astype") else c
             # xe[b] = (M x_c) at local dof b — phase-indicator contraction
             xe = [
                 sum(
@@ -205,32 +250,136 @@ class LatticeBinnedTerm2D:
                         acc[d] = acc[d] + (
                             V * (kap == d).astype(dt)
                         ).sum(axis=0)
-            if self.cells is None:
-                Y = jnp.zeros((nx1, ny1), dt)
-                for d in range(9):
-                    di, dj = d // 3, d % 3
-                    Y = jax.lax.dynamic_update_slice(
-                        Y,
-                        jax.lax.dynamic_slice(
-                            Y, (di, dj), (ncx, ncy)
-                        ) + acc[d].reshape(ncx, ncy),
-                        (di, dj),
-                    )
-                return Y.reshape(-1)
-            Y = jnp.zeros(nx1 * ny1, dt)
-            base_i = self.cells // ncy
-            base_j = self.cells - base_i * ncy
-            for d in range(9):
-                di, dj = d // 3, d % 3
-                rows = (base_i + di) * ny1 + base_j + dj
-                Y = Y.at[rows].add(acc[d])   # unique within one offset class
-            return Y
+            return self._accumulate(acc, dt)
 
         return jax.lax.map(one_color, jnp.arange(25, dtype=jnp.int8))
 
+    def _accumulate(self, acc, dt):
+        """Place the 9 per-cell offset-class planes onto the lattice."""
+        nx1, ny1 = self.shape
+        ncx, ncy = nx1 - 2, ny1 - 2
+        if self.cells is None:
+            Y = jnp.zeros((nx1, ny1), dt)
+            for d in range(9):
+                di, dj = d // 3, d % 3
+                Y = jax.lax.dynamic_update_slice(
+                    Y,
+                    jax.lax.dynamic_slice(Y, (di, dj), (ncx, ncy))
+                    + acc[d].reshape(ncx, ncy),
+                    (di, dj),
+                )
+            return Y.reshape(-1)
+        Y = jnp.zeros(nx1 * ny1, dt)
+        for d in range(9):
+            Y = Y.at[self.rows9[d]].add(acc[d])  # unique within one class
+        return Y
+
+    # -- double-float operator application ------------------------------------
+
+    def apply_df(self, Kb_df, x_df):
+        """y += (Mᵀ A_term M) x in double-float, gather-free (dense mode) or
+        with one small row gather (compact mode).
+
+        Kb_df: bound (hi, lo) blocks from bind_blocks_df; x_df: (hi, lo)
+        lattice vectors of length nx1*ny1. Returns a df pair. Used for
+        ~1e-14-accurate iterative-refinement residuals without the emulated-
+        f64 general path (SURVEY.md §7 'f64 on TPU' risk item).
+        """
+        from iifea_tpu.ops import df as dfm
+
+        ne, km, L, nc = self.meta
+        nx1, ny1 = self.shape
+        ncx, ncy = nx1 - 2, ny1 - 2
+        K_hi, K_lo = Kb_df
+        val_hi, val_lo = self.val_b, self.val_lo
+        kappa = self.kappa
+        x2h = x_df[0].reshape(nx1, ny1)
+        x2l = x_df[1].reshape(nx1, ny1)
+
+        # per-class source planes xs[δ] (nc,)
+        xs = []
+        for d in range(9):
+            if self.cells is None:
+                di, dj = d // 3, d % 3
+                xs.append((
+                    jax.lax.dynamic_slice(x2h, (di, dj), (ncx, ncy)).reshape(-1),
+                    jax.lax.dynamic_slice(x2l, (di, dj), (ncx, ncy)).reshape(-1),
+                ))
+            else:
+                rows = self.rows9[d]
+                xs.append((x_df[0][rows], x_df[1][rows]))
+
+        f32 = jnp.float32
+
+        def sel(kap):
+            """Σ_δ [κ==δ]·xs[δ] — the (data-dependent) source value, df."""
+            sh = jnp.zeros((L, nc), f32)
+            sl = jnp.zeros((L, nc), f32)
+            for d in range(9):
+                m = (kap == d).astype(f32)
+                sh = sh + m * xs[d][0][None, :]
+                sl = sl + m * xs[d][1][None, :]
+            return sh, sl
+
+        # xe[b] = Σ_kb val[b,kb]·x[target]  (df)
+        xe = []
+        for b in range(ne):
+            acc = (jnp.zeros((L, nc), f32), jnp.zeros((L, nc), f32))
+            for kb in range(km):
+                v = (val_hi[b, kb], val_lo[b, kb])
+                acc = dfm.df_add(acc, dfm.df_mul(v, sel(kappa[b, kb])))
+            xe.append(acc)
+        # ye[a] = Σ_b K[a,b]·xe[b]  (df)
+        ye = []
+        for a in range(ne):
+            acc = (jnp.zeros((L, nc), f32), jnp.zeros((L, nc), f32))
+            for b in range(ne):
+                acc = dfm.df_add(
+                    acc, dfm.df_mul((K_hi[a, b], K_lo[a, b]), xe[b])
+                )
+            ye.append(acc)
+        # acc[δ] = Σ_{a,ka} Σ_L val[a,ka]·ye[a]·[κ==δ]  (df)
+        out = [(jnp.zeros((nc,), f32), jnp.zeros((nc,), f32))
+               for _ in range(9)]
+        for a in range(ne):
+            for ka in range(km):
+                V = dfm.df_mul((val_hi[a, ka], val_lo[a, ka]), ye[a])
+                kap = kappa[a, ka]
+                for d in range(9):
+                    m = (kap == d).astype(f32)
+                    out[d] = dfm.df_add(
+                        out[d], dfm.df_sum((V[0] * m, V[1] * m), 0)
+                    )
+        # place on the lattice
+        from iifea_tpu.ops.df import df_add as _dfadd
+        if self.cells is None:
+            Yh = jnp.zeros((nx1, ny1), f32)
+            Yl = jnp.zeros((nx1, ny1), f32)
+            for d in range(9):
+                di, dj = d // 3, d % 3
+                cur = (
+                    jax.lax.dynamic_slice(Yh, (di, dj), (ncx, ncy)),
+                    jax.lax.dynamic_slice(Yl, (di, dj), (ncx, ncy)),
+                )
+                new = _dfadd(cur, (out[d][0].reshape(ncx, ncy),
+                                   out[d][1].reshape(ncx, ncy)))
+                Yh = jax.lax.dynamic_update_slice(Yh, new[0], (di, dj))
+                Yl = jax.lax.dynamic_update_slice(Yl, new[1], (di, dj))
+            return Yh.reshape(-1), Yl.reshape(-1)
+        Yh = jnp.zeros(nx1 * ny1, f32)
+        Yl = jnp.zeros(nx1 * ny1, f32)
+        for d in range(9):
+            rows = self.rows9[d]             # unique within one class
+            cur = (Yh[rows], Yl[rows])
+            new = _dfadd(cur, out[d])
+            Yh = Yh.at[rows].set(new[0])
+            Yl = Yl.at[rows].set(new[1])
+        return Yh, Yl
+
 
 def build_binned_projection(form, M, shape, radius: int = 2,
-                            dtype=np.float32) -> list[LatticeBinnedTerm2D]:
+                            dtype=np.float32,
+                            df: bool = False) -> list[LatticeBinnedTerm2D]:
     """Binned probe tables for every term of a form (host, setup-time).
 
     Terms touching few cells (facet integrals) get compact binning. Raises
@@ -245,7 +394,8 @@ def build_binned_projection(form, M, shape, radius: int = 2,
         if fl is None:
             fl = np.asarray(dom.eldofsT).T
         reducers.append(
-            LatticeBinnedTerm2D.build(fl, M, shape, radius, dtype=dtype)
+            LatticeBinnedTerm2D.build(fl, M, shape, radius, dtype=dtype,
+                                      df=df)
         )
     return reducers
 
@@ -256,3 +406,39 @@ def probe_y_binned(reducers, blocks) -> jnp.ndarray:
     for red, K in zip(reducers[1:], blocks[1:]):
         Y = Y + red.probe_y(K)
     return Y
+
+
+# -- double-float pipeline (bind once, probe + apply many) --------------------
+
+
+def split_blocks_df(blocks64):
+    """Per-term f64 element blocks -> (hi, lo) f32 pairs."""
+    from iifea_tpu.ops import df as dfm
+
+    return [dfm.df_from_f64(K) for K in blocks64]
+
+
+def bind_blocks_df_binned(reducers, blocks_df):
+    """One packed binning gather per term; reused by probe and applies."""
+    return [
+        red.bind_blocks_df(hi, lo)
+        for red, (hi, lo) in zip(reducers, blocks_df)
+    ]
+
+
+def probe_y_binned_bound(reducers, bound) -> jnp.ndarray:
+    """f32 probe from the hi parts of bound df blocks."""
+    Y = reducers[0].probe_y_bound(bound[0][0])
+    for red, Kb in zip(reducers[1:], bound[1:]):
+        Y = Y + red.probe_y_bound(Kb[0])
+    return Y
+
+
+def apply_df_binned(reducers, bound, x_df):
+    """y = A_b x in double-float (~1e-14 relative), summed over terms."""
+    from iifea_tpu.ops import df as dfm
+
+    y = reducers[0].apply_df(bound[0], x_df)
+    for red, Kb in zip(reducers[1:], bound[1:]):
+        y = dfm.df_add(y, red.apply_df(Kb, x_df))
+    return y

@@ -21,35 +21,49 @@ through the whole cycle.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from iifea_tpu.ops.stencil import StencilOperator2D
 
-_KERNEL = jnp.array(
+_KERNEL = np.array(
     [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
 )
+
+# Transfer implementations are chosen from measured TPU costs (1025² f32):
+# restrict: conv_general_dilated 0.6 ms vs step-2 strided slices 24 ms
+# (strided loads serialize on TPU — never stride-slice large planes);
+# prolong: interleave (stack+reshape) 0.3 ms vs dilated conv 0.7 ms.
 
 
 def _restrict(x2: jnp.ndarray) -> jnp.ndarray:
     """Full-weighting: y[i,j] = (1/4) Σ k[a,b] x[2i+a-1, 2j+b-1]."""
-    k = (_KERNEL / 4.0).astype(x2.dtype)[None, None]
-    x4 = x2[None, None]
+    k = jnp.asarray(_KERNEL / 4.0, x2.dtype)[None, None]
     y = jax.lax.conv_general_dilated(
-        x4, k, window_strides=(2, 2), padding=((1, 1), (1, 1))
+        x2[None, None], k, window_strides=(2, 2), padding=((1, 1), (1, 1))
     )
     return y[0, 0]
+
+
+def _interleave_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(m, n), (m, n-1) -> (m, 2n-1): a0 b0 a1 b1 ... a_{n-1}."""
+    m, n = a.shape
+    body = jnp.stack([a[:, :-1], b], axis=2).reshape(m, 2 * (n - 1))
+    return jnp.concatenate([body, a[:, -1:]], axis=1)
+
+
+def _interleave_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(m, n), (m-1, n) -> (2m-1, n): a0 b0 a1 b1 ... a_{m-1}."""
+    m, n = a.shape
+    body = jnp.stack([a[:-1], b], axis=1).reshape(2 * (m - 1), n)
+    return jnp.concatenate([body, a[-1:]], axis=0)
 
 
 def _prolong(xc2: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear interpolation (P = 4 Rᵀ): dilated convolution."""
-    k = _KERNEL.astype(xc2.dtype)[None, None]
-    x4 = xc2[None, None]
-    y = jax.lax.conv_general_dilated(
-        x4, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2),
-    )
-    return y[0, 0]
+    """Bilinear interpolation (P = 4 Rᵀ): separable interleave of midpoints."""
+    rows = _interleave_rows(xc2, 0.5 * (xc2[:-1] + xc2[1:]))
+    return _interleave_cols(rows, 0.5 * (rows[:, :-1] + rows[:, 1:]))
 
 
 @jax.jit
@@ -78,6 +92,22 @@ def _invd_plane(S: "StencilOperator2D") -> jnp.ndarray:
     return S.pad_plane(1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0))
 
 
+@jax.jit
+def _dense_inverse(S: "StencilOperator2D") -> jnp.ndarray:
+    """Explicit inverse of the coarsest operator (n ~ 33² = 1089).
+
+    The MUMPS-coarse-grid role (SURVEY.md N5) at a size where a dense
+    factorization is trivial for the MXU. Zero rows (unsupported background
+    dofs) get unit diagonals; their components pass through unchanged.
+    """
+    n = S.n
+    # mv_ref: the Pallas kernel does not support vmap batching
+    A = jax.vmap(S.mv_ref)(jnp.eye(n, dtype=S.dtype)).T
+    d = jnp.diagonal(A)
+    A = A + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(A.dtype))
+    return jnp.linalg.inv(A)
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilMultigrid:
     """Symmetric V-cycle preconditioner for a StencilOperator2D.
@@ -88,14 +118,14 @@ class StencilMultigrid:
     """
 
     def tree_flatten(self):
-        return (self.levels, self.inv_diags), (
+        return (self.levels, self.inv_diags, self.coarse_inv), (
             self.nu_pre, self.nu_post, self.omega, self.coarse_sweeps,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.levels, obj.inv_diags = children
+        obj.levels, obj.inv_diags, obj.coarse_inv = children
         obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps = aux
         return obj
 
@@ -106,7 +136,8 @@ class StencilMultigrid:
         nu_post: int = 2,
         omega: float = 0.67,
         coarse_sweeps: int = 60,
-        min_size: int = 9,
+        min_size: int = 33,
+        coarse_dense: bool = True,
     ):
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
@@ -118,6 +149,15 @@ class StencilMultigrid:
         while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
             self.levels.append(_coarsen(self.levels[-1]))
         self.inv_diags = [_invd_plane(S_l) for S_l in self.levels]
+        # exact coarsest solve: a dense inverse both converges better and
+        # costs less per cycle than deep towers of tiny smoothing ops (each
+        # tiny level op carries fixed overhead; 60 Jacobi sweeps at 9² were
+        # ~1/3 of the V-cycle wall time at bench scale)
+        self.coarse_inv = (
+            _dense_inverse(self.levels[-1])
+            if coarse_dense and self.levels[-1].n <= 4096
+            else None
+        )
 
     # -- cycle ------------------------------------------------------------------
 
@@ -136,6 +176,8 @@ class StencilMultigrid:
     def _vcycle(self, lvl: int, b):
         S = self.levels[lvl]
         if lvl == len(self.levels) - 1:
+            if self.coarse_inv is not None:
+                return self.coarse_inv @ b
             return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
         x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
         r = b - S.mv(x)

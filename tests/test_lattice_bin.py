@@ -89,3 +89,58 @@ def test_binned_probe_f32_close():
     C_bin = np.asarray(S_bin.coeffs)
     scale = np.abs(C_ref).max()
     assert np.allclose(C_bin, C_ref, atol=1e-5 * scale)
+
+
+def test_df_apply_matches_f64_general():
+    """Binned double-float application reproduces the true f64 operator to
+    ~1e-13 relative — the refinement-residual accuracy requirement."""
+    from iifea_tpu.ops import df as dfm
+    from iifea_tpu.ops.lattice_bin import (
+        apply_df_binned,
+        bind_blocks_df_binned,
+        probe_y_binned_bound,
+        split_blocks_df,
+    )
+
+    _, prob, M = _setup(16, 23)
+    shape = (17, 17)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks64 = prob.form.jacobian_blocks(u0)
+    A64 = BackgroundOperator(prob.form, blocks64, M)
+
+    reducers = build_binned_projection(prob.form, M, shape, df=True)
+    bound = bind_blocks_df_binned(reducers, split_blocks_df(blocks64))
+
+    rng = np.random.default_rng(7)
+    x64 = jnp.asarray(rng.standard_normal(M.n_bg_dofs))
+    y_ref = np.asarray(A64.mv(x64))
+
+    x_df = dfm.df_from_f64(x64)
+    y_df = jax.jit(apply_df_binned, static_argnums=())(reducers, bound, x_df)
+    y = np.asarray(dfm.df_to_f64(y_df))
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() < 1e-12 * scale
+
+    # and the f32 probe off the same bound blocks matches the general probe
+    Y = probe_y_binned_bound(reducers, bound)
+    S_bin = StencilOperator2D.from_probe_y(Y, shape, radius=2)
+    S_ref = StencilOperator2D.probe_multi(
+        A64.mv_multi, shape, radius=2, dtype=jnp.float64
+    )
+    C_ref = np.asarray(S_ref.coeffs)
+    assert np.allclose(
+        np.asarray(S_bin.coeffs), C_ref, atol=1e-5 * np.abs(C_ref).max()
+    )
+
+
+def test_cell_stiffness_df():
+    """df fast-path P1 stiffness matches the f64 autodiff element blocks."""
+    from iifea_tpu.ops import df as dfm
+
+    _, prob, M = _setup(16, 23)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    K64 = prob.form.jacobian_blocks(u0)[0]          # cell term
+    Kh, Kl = jax.jit(prob.cell_stiffness_df)()
+    K = np.asarray(Kh.astype(jnp.float64) + Kl.astype(jnp.float64))
+    ref = np.asarray(K64)
+    assert np.abs(K - ref).max() < 1e-13 * np.abs(ref).max()

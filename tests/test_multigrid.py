@@ -24,7 +24,8 @@ def _stencil(n_bg=32):
 
 def test_mg_accelerates_cg():
     S, b = _stencil()
-    mg = StencilMultigrid(S)
+    # min_size below the fixture's 33² so the hierarchy is exercised
+    mg = StencilMultigrid(S, min_size=9)
     assert len(mg.levels) >= 2
     x_mg, info_mg = krylov.cg(S.mv, b, minv=mg.minv, rtol=1e-10, check_every=2)
     d = S.diag()
