@@ -108,11 +108,33 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         )
 
     op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
-    S = jax.jit(
-        lambda A_: op.probe_multi(
-            A_.mv_multi, shape, radius=2, dtype=b.dtype
-        )
-    )(A)
+    S = None
+    if len(shape) == 2 and A.trim_mask is None and A.form.space is not None:
+        # gather-free lattice-binned probe (ops/lattice_bin.py) when the
+        # term geometry permits; falls back to the general probe otherwise
+        from iifea_tpu.ops import lattice_bin
+
+        try:
+            reducers = lattice_bin.build_binned_projection(
+                A.form, A.M, shape, dtype=np.dtype(b.dtype).type
+            )
+        except lattice_bin.LatticeBinError:
+            reducers = None
+        if reducers is not None:
+            @jax.jit
+            def _probe_binned(reds, blocks):
+                Y = lattice_bin.probe_y_binned(reds, blocks)
+                return StencilOperator2D.from_probe_y(
+                    Y, shape, radius=2, dtype=b.dtype
+                )
+
+            S = _probe_binned(reducers, A.blocks)
+    if S is None:
+        S = jax.jit(
+            lambda A_: op.probe_multi(
+                A_.mv_multi, shape, radius=2, dtype=b.dtype
+            )
+        )(A)
     mg = StencilMultigrid(S) if len(shape) == 2 else None
 
     @partial(jax.jit, static_argnames=("method", "max_it"))
