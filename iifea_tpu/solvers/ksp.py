@@ -66,10 +66,10 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
     """Stencil-probe the projected operator and MG-precondition the Krylov
     solve (the 'mg' pc): the bench.py fast path as a library feature.
 
-    Scalar 2D lattices get the geometric-multigrid V-cycle; 3D and block
-    (multi-field) operators currently get stencil-(block-)Jacobi — still the
-    dense shifted-FMA matvec instead of the gather-bound general path."""
-    from iifea_tpu.ops.multigrid import StencilMultigrid
+    Scalar 2D and 3D lattices get the geometric-multigrid V-cycle; block
+    (multi-field) operators currently get stencil-point-block-Jacobi — still
+    the dense shifted-FMA matvec instead of the gather-bound general path."""
+    from iifea_tpu.ops.multigrid import StencilMultigrid, StencilMultigrid3D
     from iifea_tpu.ops.stencil import (
         StencilOperator2D,
         StencilOperator3D,
@@ -135,7 +135,9 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
                 A_.mv_multi, shape, radius=2, dtype=b.dtype
             )
         )(A)
-    mg = StencilMultigrid(S) if len(shape) == 2 else None
+    mg = (
+        StencilMultigrid(S) if len(shape) == 2 else StencilMultigrid3D(S)
+    )
 
     @partial(jax.jit, static_argnames=("method", "max_it"))
     def run(S, mgp, b, x0, rtol, atol, method, max_it):
