@@ -12,8 +12,16 @@ probed stencil operators:
   probing* of the composed operator (ops/stencil.py) — each level's operator
   stays a 5x5 variable-coefficient stencil;
 * smoothing is weighted Jacobi (fixed sweep counts -> a linear, symmetric
-  preconditioner, valid inside CG); the coarsest level is handled by a fixed
-  number of Jacobi sweeps.
+  preconditioner, valid inside CG); the coarsest level is handled by a dense
+  Newton–Schulz pseudo-inverse (or fixed Jacobi sweeps).
+
+Every stencil apply inside the cycle uses the pure-XLA shifted-FMA form
+(``mv_ref``), NOT the Pallas kernel: Pallas custom calls constrain their
+operands to untiled linear layouts, which forces the adjacent transfer
+convolutions into a degenerate slow emitter (~4.4 ms for one 1025→513
+restrict, measured via optimized-HLO ``estimated_cycles``). The all-XLA
+V-cycle runs 4.5x faster (2.6 ms vs 11.8 ms at 1025², TPU v5e) than the
+same cycle with Pallas applies.
 
 Zero rows (background dofs with no foreground support — the BFR situation,
 common.py:261-332) get unit diagonal guards; their components stay zero
@@ -115,10 +123,10 @@ def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
 
 
 @jax.jit
-def _invd_plane(S: "StencilOperator2D") -> jnp.ndarray:
-    """Tile-padded 1/diag plane (loop-invariant smoother operand)."""
+def _invd(S: "StencilOperator2D") -> jnp.ndarray:
+    """Flat 1/diag (unit guard on zero rows), loop-invariant smoother operand."""
     d = S.diag()
-    return S.pad_plane(1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0))
+    return 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
 
 
 @jax.jit
@@ -157,8 +165,13 @@ def _pinv(A: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
     alpha = 1.0 / (n1 * ninf)        # ≤ 1/σmax² since σmax² ≤ ‖A‖₁‖A‖∞
     I2 = 2.0 * jnp.eye(A.shape[0], dtype=A.dtype)
 
+    def mm(a, b):
+        # HIGHEST: f32 accumulation on the MXU. The default bf16 passes
+        # destroy the 2I − AX cancellation and the iteration diverges.
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
     def body(_, X):
-        return X @ (I2 - A @ X)
+        return mm(X, I2 - mm(A, X))
 
     return jax.lax.fori_loop(0, iters, body, alpha * A.T)
 
@@ -203,7 +216,7 @@ class StencilMultigrid:
         self.levels = [S]
         while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
             self.levels.append(_coarsen(self.levels[-1]))
-        self.inv_diags = [_invd_plane(S_l) for S_l in self.levels]
+        self.inv_diags = [_invd(S_l) for S_l in self.levels]
         # exact coarsest solve: a dense inverse both converges better and
         # costs less per cycle than deep towers of tiny smoothing ops (each
         # tiny level op carries fixed overhead; 60 Jacobi sweeps at 9² were
@@ -217,14 +230,13 @@ class StencilMultigrid:
     # -- cycle ------------------------------------------------------------------
 
     def _smooth(self, lvl: int, x, b, sweeps: int):
+        # pure-XLA weighted Jacobi (no Pallas: see module docstring)
         S = self.levels[lvl]
-        invd2 = self.inv_diags[lvl]
-        b2 = S.pad_plane(b)      # pad once; invariant across sweeps
+        invd = self.inv_diags[lvl]
         om = self.omega
 
         def body(_, x):
-            # fused stencil-apply + Jacobi update (Pallas on TPU)
-            return S.jacobi_smooth(invd2, b2, x, om)
+            return x + om * invd * (b - S.mv_ref(x))
 
         return jax.lax.fori_loop(0, sweeps, body, x)
 
@@ -235,7 +247,7 @@ class StencilMultigrid:
                 return self.coarse_inv @ b
             return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
         x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
-        r = b - S.mv(x)
+        r = b - S.mv_ref(x)
         rc = _restrict(r.reshape(S.shape)).reshape(-1)
         xc = self._vcycle(lvl + 1, rc)
         x = x + _prolong(
