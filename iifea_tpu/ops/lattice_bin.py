@@ -196,22 +196,34 @@ class LatticeBinnedTerm2D:
 
     def bind_blocks(self, K: jnp.ndarray) -> jnp.ndarray:
         """Gather the element Jacobian blocks into binned (ne, ne, L, nc)
-        layout — the single runtime gather of the fast path."""
+        layout — the single runtime gather of the fast path.
+
+        The gather fetches CONTIGUOUS ne² rows (element axis major) and
+        transposes afterwards: strided (ne, ne, 1) slice gathers run 2.5x
+        slower on TPU (measured 192 ms vs 77 ms at 1.5M elements/2.4M
+        slots; transposes of the same volume are bandwidth-cheap)."""
         ne = self.meta[0]
+        L, nc = self.meta[2], self.meta[3]
         dt = self.val_b.dtype
-        Kpad = jnp.concatenate(
-            [jnp.zeros((ne, ne, 1), K.dtype), K.astype(dt)], axis=-1
+        rows = K.astype(dt).reshape(ne * ne, -1).T       # (nE, ne²)
+        rows = jnp.concatenate(
+            [jnp.zeros((1, ne * ne), dt), rows], axis=0
         )
-        return Kpad[:, :, self.perm]
+        out = rows[self.perm.reshape(-1)]                # (L·nc, ne²)
+        return out.T.reshape(ne, ne, L, nc)
 
     def bind_blocks_df(self, K_hi: jnp.ndarray, K_lo: jnp.ndarray):
-        """df variant: one packed gather for the (hi, lo) block pair."""
+        """df variant: one packed contiguous-row gather for the (hi, lo)
+        block pair (see bind_blocks for the layout rationale)."""
         ne = self.meta[0]
-        Khl = jnp.stack([K_hi, K_lo])              # (2, ne, ne, nE)
-        Kpad = jnp.concatenate(
-            [jnp.zeros((2, ne, ne, 1), jnp.float32), Khl], axis=-1
+        L, nc = self.meta[2], self.meta[3]
+        w = 2 * ne * ne
+        rows = jnp.stack([K_hi, K_lo]).reshape(w, -1).T  # (nE, 2·ne²)
+        rows = jnp.concatenate(
+            [jnp.zeros((1, w), jnp.float32), rows], axis=0
         )
-        Kb = Kpad[:, :, :, self.perm]              # (2, ne, ne, L, nc)
+        out = rows[self.perm.reshape(-1)]                # (L·nc, 2·ne²)
+        Kb = out.T.reshape(2, ne, ne, L, nc)
         return Kb[0], Kb[1]
 
     def probe_y(self, K: jnp.ndarray) -> jnp.ndarray:
