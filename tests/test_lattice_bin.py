@@ -144,3 +144,30 @@ def test_cell_stiffness_df():
     K = np.asarray(Kh.astype(jnp.float64) + Kl.astype(jnp.float64))
     ref = np.asarray(K64)
     assert np.abs(K - ref).max() < 1e-13 * np.abs(ref).max()
+
+
+def test_rhs_df_fast_path():
+    """Gather-free df rhs (pointwise setup tables + binned Mᵀ projection)
+    matches the general f64 assemble_background_system rhs to ~1e-14."""
+    import jax
+    from iifea_tpu.ops import lattice_bin
+    from iifea_tpu.ops.df import df_to_f64
+    from iifea_tpu.ops.projection import assemble_background_system
+
+    for sym in (True, False):
+        n_bg = 24
+        mesh, M = immersed_square_problem(n_fg=48, n_bg=n_bg)
+        prob = PoissonProblem(mesh, k=1, sym=sym, beta_value=10)
+        _, b_ref = assemble_background_system(
+            prob.form, jnp.zeros(prob.space.n_dofs), M
+        )
+        reducers = lattice_bin.build_binned_projection(
+            prob.form, M, (n_bg + 1, n_bg + 1), dtype=np.float32, df=True
+        )
+        tables = prob.rhs_df_tables(reducers)
+        r_el = jax.jit(prob.rhs_el_df)(tables)
+        b_df = jax.jit(lattice_bin.project_rhs_df_binned)(reducers, r_el)
+        rel = float(
+            jnp.linalg.norm(df_to_f64(b_df) - b_ref) / jnp.linalg.norm(b_ref)
+        )
+        assert rel < 1e-13, (sym, rel)
