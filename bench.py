@@ -105,21 +105,32 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     from iifea_tpu.models.poisson import p1_stiffness_df_arrays
     _cell_gref = np.asarray(prob64.cell_dom.gphi_ref)
 
-    rhs_tables = (
-        prob64.rhs_df_tables(reducers) if reducers is not None else None
-    )
+    if reducers is not None:
+        rhs_tables = prob64.rhs_df_tables(reducers)
+        # static geometry bound into slot layout once (host): the cell
+        # stiffness is then computed DIRECTLY in bound order — no runtime
+        # bind gather for the dominant term (padding slots compute zeros)
+        cell_JinvT_b = jnp.asarray(
+            reducers[0].bind_static(np.asarray(prob64.cell_dom.JinvT))
+        )
+        cell_wdetT_b = jnp.asarray(
+            reducers[0].bind_static(np.asarray(prob64.cell_dom.wdetT))
+        )
+    else:
+        rhs_tables = cell_JinvT_b = cell_wdetT_b = None
 
     @jax.jit
-    def assemble_df(reds, rhs_tbl, cell_JinvT, cell_wdetT, facet_dom, u):
+    def assemble_df(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
         # rhs via the gather-free df fast path (pointwise integrand values
         # are setup tables; q-contraction + Mᵀ projection in-graph,
         # ~2e-15 of the general f64 path), cell stiffness via
-        # p1_stiffness_df (~1e-15 of the autodiff f64 blocks), facet
-        # blocks via f64 jacfwd (tiny term)
+        # p1_stiffness_df computed in slot-bound order (~1e-15 of the
+        # autodiff f64 blocks, zero gathers), facet blocks via f64 jacfwd
+        # (tiny term, bound by a small runtime gather)
         r_el = prob64.rhs_el_df(rhs_tbl)
         b_df = lattice_bin.project_rhs_df_binned(reds, r_el)
         b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
-        K_cell = p1_stiffness_df_arrays(cell_JinvT, cell_wdetT, _cell_gref)
+        K_cell_bound = p1_stiffness_df_arrays(JinvT_b, wdetT_b, _cell_gref)
         from iifea_tpu.ops.assembly import Form as _F
         from iifea_tpu.ops import df as dfm
         sub = _F.tree_unflatten(
@@ -127,7 +138,7 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             (facet_dom,),
         )
         K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
-        return b64, [K_cell, K_facet]
+        return b64, K_cell_bound, K_facet
 
     @jax.jit
     def probe32(form, M, blocks32):
@@ -149,9 +160,10 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         )
 
     @jax.jit
-    def bind_bound(reds, blocks_df):
-        # blocks already df pairs (assemble_df): bin without splitting
-        return lattice_bin.bind_blocks_df_binned(reds, blocks_df)
+    def bind_facet(reds, K_cell_bound, K_facet):
+        # cell blocks arrive already slot-bound (computed from bound
+        # geometry); only the small facet term needs a runtime bind
+        return [K_cell_bound, reds[1].bind_blocks_df(*K_facet)]
 
     @jax.jit
     def probe32_bound(reds, bound):
@@ -206,11 +218,11 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     def full_solve():
         # phase 1: assemble + project (stencil extraction == explicit PtAP)
         if reducers is not None:
-            b64, blocks_df = assemble_df(
-                reducers, rhs_tables, prob64.cell_dom.JinvT,
-                prob64.cell_dom.wdetT, prob64.facet_dom, u64,
+            b64, K_cell_b, K_facet = assemble_df(
+                reducers, rhs_tables, cell_JinvT_b, cell_wdetT_b,
+                prob64.facet_dom, u64,
             )
-            bound = bind_bound(reducers, blocks_df)
+            bound = bind_facet(reducers, K_cell_b, K_facet)
             S32 = probe32_bound(reducers, bound)
         else:
             blocks64, b64 = assemble64(form64, M64, u64)
@@ -277,16 +289,19 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             return out
 
         if reducers is not None:
-            b64, blocks_df = timed(
+            b64, K_cell_b, K_facet = timed(
                 "assemble_df+rhs_df",
                 lambda: assemble_df(
-                    reducers, rhs_tables, prob64.cell_dom.JinvT,
-                    prob64.cell_dom.wdetT, prob64.facet_dom, u64,
+                    reducers, rhs_tables, cell_JinvT_b, cell_wdetT_b,
+                    prob64.facet_dom, u64,
                 ),
                 u64,
             )
-            bound = timed("bind_df", lambda: bind_bound(reducers, blocks_df),
-                          blocks_df)
+            bound = timed(
+                "bind_facet",
+                lambda: bind_facet(reducers, K_cell_b, K_facet),
+                K_cell_b, K_facet,
+            )
             S32 = timed("probe",
                         lambda: probe32_bound(reducers, bound), bound)
         else:

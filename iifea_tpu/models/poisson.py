@@ -102,9 +102,11 @@ def p1_stiffness_df_arrays(JinvT, wdetT, gref: np.ndarray):
             kab = dfm.df_mul((Wh, Wl), acc)
             Kh.append(kab[0])
             Kl.append(kab[1])
-    nE = Wh.shape[0]
-    return (jnp.stack(Kh).reshape(nb, nb, nE),
-            jnp.stack(Kl).reshape(nb, nb, nE))
+    # trailing axes = element axis/axes: works for (nE,) element order and
+    # for (L, nc) slot-bound order (geometry bound at setup via bind_static)
+    tail = Wh.shape
+    return (jnp.stack(Kh).reshape((nb, nb) + tail),
+            jnp.stack(Kl).reshape((nb, nb) + tail))
 
 
 class PoissonProblem:
