@@ -185,8 +185,11 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         # rtol is traced: refinement passes only contract as far as needed
         # to land below the global f64 target (pass 2 typically needs ~1e-4,
         # not another full 1e-6 — fewer wasted MG-PCG iterations)
+        # mv_ref, not the Pallas mv: the V-cycle preconditioner contains
+        # transfer convolutions, and a Pallas custom call in the same loop
+        # body forces them into the slow conv emitter (see PERF.md)
         return krylov.cg(
-            S32.mv, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
+            S32.mv_ref, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
             max_it=500, check_every=4,
         )
 

@@ -143,14 +143,19 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
     def run(S, mgp, b, x0, rtol, atol, method, max_it):
         if mgp is not None:
             minv = mgp.minv
+            # mv_ref, not the Pallas mv: the V-cycle contains transfer
+            # convolutions, and a Pallas custom call in the same loop body
+            # forces them into a degenerate slow conv emitter (PERF.md)
+            mv = S.mv_ref if hasattr(S, "mv_ref") else S.mv
         else:
             d = S.diag()
             invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
             minv = lambda r: invd * r
+            mv = S.mv
         kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
         if method == "cg":
-            return krylov.cg(S.mv, b, x0, **kw)
-        return krylov.gmres(S.mv, b, x0, restart=100, **kw)
+            return krylov.cg(mv, b, x0, **kw)
+        return krylov.gmres(mv, b, x0, restart=100, **kw)
 
     return run(
         S, mg, b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
