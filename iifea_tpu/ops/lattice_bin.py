@@ -53,7 +53,7 @@ class LatticeBinnedTerm2D:
     """
 
     def __init__(self, val_b, kappa, phase, perm, shape, meta=None,
-                 cells=None, val_lo=None, rows9=None):
+                 cells=None, val_lo=None, rows9=None, bbox=None):
         self.val_b = val_b          # (ne, km, L, nc)
         self.kappa = kappa          # (ne, km, L, nc) int8
         self.phase = phase          # (ne, km, L, nc) int8
@@ -63,18 +63,23 @@ class LatticeBinnedTerm2D:
         self.rows9 = rows9          # compact mode: (9, nc) int32 lattice rows
         self.shape = tuple(shape)
         self.meta = meta
+        # dense mode: (bi0, bj0, bcx, bcy) bounding box of occupied cells
+        # (static); slot grid is bbox-local, placement offsets by (bi0, bj0)
+        if bbox is None and cells is None:
+            bbox = (0, 0, shape[0] - 2, shape[1] - 2)
+        self.bbox = bbox
 
     def tree_flatten(self):
         leaves = (self.val_b, self.kappa, self.phase, self.perm, self.cells,
                   self.val_lo, self.rows9)
-        return leaves, (self.shape, self.meta)
+        return leaves, (self.shape, self.meta, self.bbox)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         val_b, kappa, phase, perm, cells, val_lo, rows9 = leaves
-        shape, meta = aux
+        shape, meta, bbox = aux
         return cls(val_b, kappa, phase, perm, shape, meta, cells,
-                   val_lo, rows9)
+                   val_lo, rows9, bbox)
 
     # -- host construction ----------------------------------------------------
 
@@ -134,15 +139,32 @@ class LatticeBinnedTerm2D:
         cell = (bi[use] * ncy + bj[use]).astype(np.int64)
 
         if compact is None:
+            # compact (scattered cell list) only for genuinely sparse-touch
+            # terms (facet integrals): its 9-scatter placement costs ~3x the
+            # dense slice placement per color. Bulk terms use the
+            # bbox-cropped dense layout below instead.
             compact = np.unique(cell).size < (ncx * ncy) // 4
         if compact:
             cells_occ, cell_c = np.unique(cell, return_inverse=True)
             nc = cells_occ.size
             cell = cell_c
             cells_arr = cells_occ.astype(np.int32)
+            bbox = None
         else:
-            nc = ncx * ncy
+            # bbox-cropped dense layout: slot grid spans only the bounding
+            # box of occupied cells — same gather/scatter-free slice
+            # placement as full-dense, ~2x less memory and probe compute on
+            # immersed subdomains (a rotated block touches ~1/3 of cells,
+            # ~1/2 of the bbox)
+            bi_u, bj_u = bi[use], bj[use]
+            bi0 = int(bi_u.min()) if use.size else 0
+            bj0 = int(bj_u.min()) if use.size else 0
+            bcx = (int(bi_u.max()) - bi0 + 1) if use.size else 1
+            bcy = (int(bj_u.max()) - bj0 + 1) if use.size else 1
+            nc = bcx * bcy
+            cell = ((bi_u - bi0) * bcy + (bj_u - bj0)).astype(np.int64)
             cells_arr = None
+            bbox = (bi0, bj0, bcx, bcy)
         nc = max(nc, 1)
 
         counts = np.bincount(cell, minlength=nc)
@@ -190,6 +212,7 @@ class LatticeBinnedTerm2D:
             cells=jnp.asarray(cells_arr) if cells_arr is not None else None,
             val_lo=jnp.asarray(val_lo_t) if val_lo_t is not None else None,
             rows9=jnp.asarray(rows9) if rows9 is not None else None,
+            bbox=bbox,
         )
 
     # -- device probe ---------------------------------------------------------
@@ -269,15 +292,15 @@ class LatticeBinnedTerm2D:
     def _accumulate(self, acc, dt):
         """Place the 9 per-cell offset-class planes onto the lattice."""
         nx1, ny1 = self.shape
-        ncx, ncy = nx1 - 2, ny1 - 2
         if self.cells is None:
+            bi0, bj0, bcx, bcy = self.bbox
             Y = jnp.zeros((nx1, ny1), dt)
             for d in range(9):
-                di, dj = d // 3, d % 3
+                di, dj = bi0 + d // 3, bj0 + d % 3
                 Y = jax.lax.dynamic_update_slice(
                     Y,
-                    jax.lax.dynamic_slice(Y, (di, dj), (ncx, ncy))
-                    + acc[d].reshape(ncx, ncy),
+                    jax.lax.dynamic_slice(Y, (di, dj), (bcx, bcy))
+                    + acc[d].reshape(bcx, bcy),
                     (di, dj),
                 )
             return Y.reshape(-1)
@@ -332,16 +355,17 @@ class LatticeBinnedTerm2D:
                         out[d], dfm.df_sum((V[0] * m, V[1] * m), 0)
                     )
         if self.cells is None:
+            bi0, bj0, bcx, bcy = self.bbox
             Yh = jnp.zeros((nx1, ny1), f32)
             Yl = jnp.zeros((nx1, ny1), f32)
             for d in range(9):
-                di, dj = d // 3, d % 3
+                di, dj = bi0 + d // 3, bj0 + d % 3
                 cur = (
-                    jax.lax.dynamic_slice(Yh, (di, dj), (ncx, ncy)),
-                    jax.lax.dynamic_slice(Yl, (di, dj), (ncx, ncy)),
+                    jax.lax.dynamic_slice(Yh, (di, dj), (bcx, bcy)),
+                    jax.lax.dynamic_slice(Yl, (di, dj), (bcx, bcy)),
                 )
-                new = dfm.df_add(cur, (out[d][0].reshape(ncx, ncy),
-                                       out[d][1].reshape(ncx, ncy)))
+                new = dfm.df_add(cur, (out[d][0].reshape(bcx, bcy),
+                                       out[d][1].reshape(bcx, bcy)))
                 Yh = jax.lax.dynamic_update_slice(Yh, new[0], (di, dj))
                 Yl = jax.lax.dynamic_update_slice(Yl, new[1], (di, dj))
             return Yh.reshape(-1), Yl.reshape(-1)
@@ -381,10 +405,11 @@ class LatticeBinnedTerm2D:
         xs = []
         for d in range(9):
             if self.cells is None:
-                di, dj = d // 3, d % 3
+                bi0, bj0, bcx, bcy = self.bbox
+                di, dj = bi0 + d // 3, bj0 + d % 3
                 xs.append((
-                    jax.lax.dynamic_slice(x2h, (di, dj), (ncx, ncy)).reshape(-1),
-                    jax.lax.dynamic_slice(x2l, (di, dj), (ncx, ncy)).reshape(-1),
+                    jax.lax.dynamic_slice(x2h, (di, dj), (bcx, bcy)).reshape(-1),
+                    jax.lax.dynamic_slice(x2l, (di, dj), (bcx, bcy)).reshape(-1),
                 ))
             else:
                 rows = self.rows9[d]
@@ -434,16 +459,17 @@ class LatticeBinnedTerm2D:
         # place on the lattice
         from iifea_tpu.ops.df import df_add as _dfadd
         if self.cells is None:
+            bi0, bj0, bcx, bcy = self.bbox
             Yh = jnp.zeros((nx1, ny1), f32)
             Yl = jnp.zeros((nx1, ny1), f32)
             for d in range(9):
-                di, dj = d // 3, d % 3
+                di, dj = bi0 + d // 3, bj0 + d % 3
                 cur = (
-                    jax.lax.dynamic_slice(Yh, (di, dj), (ncx, ncy)),
-                    jax.lax.dynamic_slice(Yl, (di, dj), (ncx, ncy)),
+                    jax.lax.dynamic_slice(Yh, (di, dj), (bcx, bcy)),
+                    jax.lax.dynamic_slice(Yl, (di, dj), (bcx, bcy)),
                 )
-                new = _dfadd(cur, (out[d][0].reshape(ncx, ncy),
-                                   out[d][1].reshape(ncx, ncy)))
+                new = _dfadd(cur, (out[d][0].reshape(bcx, bcy),
+                                   out[d][1].reshape(bcx, bcy)))
                 Yh = jax.lax.dynamic_update_slice(Yh, new[0], (di, dj))
                 Yl = jax.lax.dynamic_update_slice(Yl, new[1], (di, dj))
             return Yh.reshape(-1), Yl.reshape(-1)

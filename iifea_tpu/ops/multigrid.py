@@ -107,9 +107,11 @@ def _prolong3(xc3: jnp.ndarray) -> jnp.ndarray:
 def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
     """Galerkin coarse operator R A P, re-probed into stencil form.
 
-    The (2r+1)² probe columns go through ONE vmapped prolong->A->restrict
+    The (2r+1)² probe columns go through a vmapped prolong->A->restrict
     batch (the stencil apply and transfer convolutions batch cleanly on the
-    VPU) instead of a sequential per-column loop."""
+    VPU); above 2M dofs the columns are chunked through lax.map so the
+    25-wide padded intermediates stay within HBM (a fully vmapped batch
+    OOMs at the 2049² first coarsening of the 4.2M-dof bench)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
 
     def rap_one(xc):
@@ -117,8 +119,14 @@ def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
         yf = fine.mv_ref(xf.reshape(-1)).reshape(fine.shape)
         return _restrict(yf).reshape(-1)
 
+    if fine.n > 2_000_000:
+        def rap_multi(X):
+            return jax.lax.map(rap_one, X, batch_size=5)
+    else:
+        rap_multi = jax.vmap(rap_one)
+
     return StencilOperator2D.probe_multi(
-        jax.vmap(rap_one), cshape, radius=fine.radius, dtype=fine.dtype
+        rap_multi, cshape, radius=fine.radius, dtype=fine.dtype
     )
 
 
