@@ -184,6 +184,22 @@ def _pinv(A: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
     return jax.lax.fori_loop(0, iters, body, alpha * A.T)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_tail", "dense_ok"))
+def _build_tail(S_top, n_tail, dense_ok):
+    """Coarsen n_tail levels below S_top, their 1/diags, and the coarsest
+    dense pseudo-inverse — in ONE compiled graph (dispatch-latency batching;
+    see StencilMultigrid.__init__)."""
+    levels = [S_top]
+    for _ in range(n_tail):
+        levels.append(_coarsen(levels[-1]))
+    invds = [_invd(l) for l in levels]
+    cinv = _dense_inverse(levels[-1]) if dense_ok else None
+    return levels[1:], invds, cinv
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilMultigrid:
     """Symmetric V-cycle preconditioner for a StencilOperator2D.
@@ -218,22 +234,37 @@ class StencilMultigrid:
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_sweeps = coarse_sweeps
-        # each coarsening level is its own jitted graph (keyed on the level
-        # shape): one monolithic hierarchy-build graph overflows the remote
-        # TPU compile helper at bench scale
-        self.levels = [S]
-        while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
-            self.levels.append(_coarsen(self.levels[-1]))
-        self.inv_diags = [_invd(S_l) for S_l in self.levels]
-        # exact coarsest solve: a dense inverse both converges better and
-        # costs less per cycle than deep towers of tiny smoothing ops (each
-        # tiny level op carries fixed overhead; 60 Jacobi sweeps at 9² were
-        # ~1/3 of the V-cycle wall time at bench scale)
-        self.coarse_inv = (
-            _dense_inverse(self.levels[-1])
-            if coarse_dense and self.levels[-1].n <= 4096
-            else None
+        # Big levels (>600 per side) get their own jitted coarsen graph — a
+        # fully monolithic hierarchy build overflows the remote TPU compile
+        # helper at bench scale. Everything below is ONE jitted tail graph:
+        # each separate dispatch costs ~25-30 ms of tunnel latency, which
+        # dominated mg_build (6 coarsens + 6 invds + NS inverse ≈ 0.3 s of
+        # pure latency before this batching).
+        shapes = [tuple(S.shape)]
+        while all((s - 1) % 2 == 0 and s > min_size for s in shapes[-1]):
+            shapes.append(tuple((s - 1) // 2 + 1 for s in shapes[-1]))
+        n_levels = len(shapes)
+        dense_ok = coarse_dense and (
+            shapes[-1][0] * shapes[-1][1] <= 4096
         )
+
+        self.levels = [S]
+        while max(self.levels[-1].shape) > 600 and len(self.levels) < n_levels:
+            self.levels.append(_coarsen(self.levels[-1]))
+
+        n_tail = n_levels - len(self.levels)
+        tail_levels, invds, cinv = _build_tail(
+            self.levels[-1], n_tail, dense_ok
+        )
+        self.levels.extend(tail_levels)
+        # _build_tail's invds cover S_top + the tail; the (at most two)
+        # head levels above S_top get one _invd dispatch each
+        self.inv_diags = [
+            _invd(S_l) for S_l in self.levels[: len(self.levels) - n_tail - 1]
+        ] + invds
+        # exact coarsest solve: a dense pseudo-inverse both converges better
+        # and costs less per cycle than deep towers of tiny smoothing ops
+        self.coarse_inv = cinv
 
     # -- cycle ------------------------------------------------------------------
 
