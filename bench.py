@@ -55,35 +55,31 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from iifea_tpu.ops import lattice_bin
     from iifea_tpu.ops.multigrid import StencilMultigrid
     from iifea_tpu.ops.projection import BackgroundOperator
     from iifea_tpu.ops.stencil import StencilOperator2D
     from iifea_tpu.solvers import krylov
+    from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
 
     t0 = time.time()
     mesh_f, prob64, M64 = build_problem(n_bg, np.float64)
     form64 = prob64.form
     shape = (n_bg + 1, n_bg + 1)
-    # gather-free lattice-binned probe tables (ops/lattice_bin.py): static
-    # index structure, built once from mesh+M like the scatter caches
-    from iifea_tpu.ops import lattice_bin
+    # the whole fast pipeline is a LIBRARY feature (solvers/lattice_fast.py):
+    # binned reducers + rhs tables + slot-bound geometry at setup, then
+    # df assembly -> gather-free probe -> MG -> f32 MG-PCG + df refinement
     try:
-        reducers = lattice_bin.build_binned_projection(
-            form64, M64, shape, dtype=np.float32, df=True
-        )
+        solver = BinnedLatticeSolver(prob64, M64, shape)
     except lattice_bin.LatticeBinError:
-        reducers = None
+        solver = None
     t_setup = time.time() - t0
 
-    # form/M enter as pytree ARGUMENTS: closure capture would bake them into
-    # the graph as multi-GB constants and blow up the remote compile.
+    # general fallback (gather-bound; used only when binning fails) --------
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("kern_id",))
     def term_blocks64(dom, kern_id, u):
-        # one term's fused Jacobians + residual; separate (smaller) graphs
-        # keep the remote compile helper within its limits at the 1M-dof
-        # scale, and chunked lax.map bounds the jacfwd intermediates in HBM
         from iifea_tpu.ops.assembly import Form as _F
         sub = _F.tree_unflatten(
             ((form64.terms[kern_id].kernel,), form64.n_dofs, form64.n_fields),
@@ -102,163 +98,50 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
         ])
         return list(blocks), project_rhs(M, sum(rs[1:], rs[0]))
 
-    from iifea_tpu.models.poisson import p1_stiffness_df_arrays
-    _cell_gref = np.asarray(prob64.cell_dom.gphi_ref)
-
-    if reducers is not None:
-        rhs_tables = prob64.rhs_df_tables(reducers)
-        # static geometry bound into slot layout once (host): the cell
-        # stiffness is then computed DIRECTLY in bound order — no runtime
-        # bind gather for the dominant term (padding slots compute zeros)
-        cell_JinvT_b = jnp.asarray(
-            reducers[0].bind_static(np.asarray(prob64.cell_dom.JinvT))
-        )
-        cell_wdetT_b = jnp.asarray(
-            reducers[0].bind_static(np.asarray(prob64.cell_dom.wdetT))
-        )
-    else:
-        rhs_tables = cell_JinvT_b = cell_wdetT_b = None
-
-    @jax.jit
-    def assemble_df(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
-        # rhs via the gather-free df fast path (pointwise integrand values
-        # are setup tables; q-contraction + Mᵀ projection in-graph,
-        # ~2e-15 of the general f64 path), cell stiffness via
-        # p1_stiffness_df computed in slot-bound order (~1e-15 of the
-        # autodiff f64 blocks, zero gathers), facet blocks via f64 jacfwd
-        # (tiny term, bound by a small runtime gather)
-        r_el = prob64.rhs_el_df(rhs_tbl)
-        b_df = lattice_bin.project_rhs_df_binned(reds, r_el)
-        b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
-        K_cell_bound = p1_stiffness_df_arrays(JinvT_b, wdetT_b, _cell_gref)
-        from iifea_tpu.ops.assembly import Form as _F
-        from iifea_tpu.ops import df as dfm
-        sub = _F.tree_unflatten(
-            ((form64.terms[1].kernel,), form64.n_dofs, form64.n_fields),
-            (facet_dom,),
-        )
-        K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
-        return b64, K_cell_bound, K_facet
-
     @jax.jit
     def probe32(form, M, blocks32):
-        # general-path fallback probe (gather-bound): only used when the
-        # lattice-binned tables could not be built
         A = BackgroundOperator(form, blocks32, M)
         return StencilOperator2D.probe_multi(
             A.mv_multi, shape, radius=2, dtype=jnp.float32
         )
 
     @jax.jit
-    def bind_df(reds, blocks64):
-        # split f64 blocks to (hi, lo) f32 pairs and gather them into binned
-        # layout ONCE; the f32 probe reads the hi planes, the ~1e-14 df
-        # applies (refinement residuals) read both — no emulated-f64 general
-        # path anywhere after assembly
-        return lattice_bin.bind_blocks_df_binned(
-            reds, lattice_bin.split_blocks_df(blocks64)
-        )
-
-    @jax.jit
-    def bind_facet(reds, K_cell_bound, K_facet):
-        # cell blocks arrive already slot-bound (computed from bound
-        # geometry); only the small facet term needs a runtime bind
-        return [K_cell_bound, reds[1].bind_blocks_df(*K_facet)]
-
-    @jax.jit
-    def probe32_bound(reds, bound):
-        # gather-free masked shift-add probe (ops/lattice_bin.py)
-        Y = lattice_bin.probe_y_binned_bound(reds, bound)
-        return StencilOperator2D.from_probe_y(Y, shape, radius=2)
-
-    @jax.jit
-    def downcast_blocks(blocks):
-        return [b.astype(jnp.float32) for b in blocks]
-
-    def build_mg(S32):
-        # NOT wrapped in jit: the constructor jits one graph per level
-        # (a monolithic hierarchy graph overflows the remote compiler)
-        return StencilMultigrid(S32)
-
-    @jax.jit
-    def cg32(S32, mg, r, rtol_pass):
-        # rtol is traced: refinement passes only contract as far as needed
-        # to land below the global f64 target (pass 2 typically needs ~1e-4,
-        # not another full 1e-6 — fewer wasted MG-PCG iterations)
-        # mv_ref, not the Pallas mv: the V-cycle preconditioner contains
-        # transfer convolutions, and a Pallas custom call in the same loop
-        # body forces them into the slow conv emitter (see PERF.md)
-        return krylov.cg(
-            S32.mv_ref, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
-            max_it=500, check_every=4,
-        )
-
-    @jax.jit
     def residual64(form, M, blocks64, b64, x64):
-        # true-f64 residual through the general matrix-free A_b = Mᵀ A_f M
-        # (fallback path when lattice binning is unavailable)
         A = BackgroundOperator(form, blocks64, M)
         r = b64 - A.mv(x64)
         return r, r.astype(jnp.float32), jnp.linalg.norm(r) / jnp.linalg.norm(b64)
 
     @jax.jit
-    def residual_df(reds, bound, b64, x64):
-        # double-float residual: binned masked-shift apply, ~1e-14 relative
-        # of the true f64 operator (tests/test_lattice_bin.py), no gathers
-        from iifea_tpu.ops import df as dfm
-        x_df = dfm.df_from_f64(x64)
-        y_df = lattice_bin.apply_df_binned(reds, bound, x_df)
-        r_df = dfm.df_sub(dfm.df_from_f64(b64), y_df)
-        r64 = dfm.df_to_f64(r_df)
-        return r64, r_df[0], jnp.linalg.norm(r64) / jnp.linalg.norm(b64)
-
-    @jax.jit
-    def accum(x64, dx):
-        return x64 + dx.astype(jnp.float64)
+    def cg32(S32, mg, r, rtol_pass):
+        return krylov.cg(
+            S32.mv_ref, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
+            max_it=500, check_every=4,
+        )
 
     u64 = jnp.zeros(prob64.space.n_dofs, jnp.float64)
 
     def full_solve():
-        # phase 1: assemble + project (stencil extraction == explicit PtAP)
-        if reducers is not None:
-            b64, K_cell_b, K_facet = assemble_df(
-                reducers, rhs_tables, cell_JinvT_b, cell_wdetT_b,
-                prob64.facet_dom, u64,
-            )
-            bound = bind_facet(reducers, K_cell_b, K_facet)
-            S32 = probe32_bound(reducers, bound)
-        else:
-            blocks64, b64 = assemble64(form64, M64, u64)
-            blocks32 = downcast_blocks(blocks64)
-            S32 = probe32(form64, M64, blocks32)
-        mg = build_mg(S32)   # geometric-multigrid hierarchy (Galerkin probes)
-        # phase 2: f32 MG-PCG with double-float iterative refinement
+        if solver is not None:
+            x64, info = solver.solve(rtol=rtol)
+            return x64, info["rel_residual"], info["cg_iters"]
+        blocks64, b64 = assemble64(form64, M64, u64)
+        S32 = probe32(form64, M64,
+                      [b.astype(jnp.float32) for b in blocks64])
+        mg = StencilMultigrid(S32)
         x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
-        relres = 1.0
-        iters = 0
+        relres, iters = 1.0, 0
         for i in range(10):
             if i == 0:
-                # x = 0: the residual IS b — skip one full apply
                 r32 = b64.astype(jnp.float32)
-            elif reducers is not None:
-                r64, r32, rr = residual_df(reducers, bound, b64, x64)
-                relres = float(rr)
-                if relres < rtol:
-                    break
             else:
-                r64, r32, rr = residual64(form64, M64, blocks64, b64, x64)
+                _, r32, rr = residual64(form64, M64, blocks64, b64, x64)
                 relres = float(rr)
                 if relres < rtol:
                     break
-            # contract only as far as this pass needs: overall target is
-            # rtol relative to b, the current defect is relres — a 0.25x
-            # safety margin absorbs the f32 apply error. Clamp into
-            # [1e-6, 3e-2]: never tighter than the f32 floor, never so loose
-            # the pass is a no-op.
             rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
             dx, info = cg32(S32, mg, r32, rtol_pass)
             iters += int(info.iters)
-            x64 = accum(x64, dx)
+            x64 = x64 + dx.astype(jnp.float64)
         return x64, relres, iters
 
     t0 = time.time()
@@ -267,14 +150,16 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     _ = float(jnp.linalg.norm(x64))
     t_first = time.time() - t0
 
-    if os.environ.get("IIFEA_BENCH_PHASES"):
+    if os.environ.get("IIFEA_BENCH_PHASES") and solver is not None:
         # per-phase wall clock. Each phase: drain the device queue (readback
         # of every prior output — block_until_ready does not reliably block
         # through the axon tunnel, PERF.md), run twice, report the best.
         def sync(*vs):
             for v in vs:
                 for leaf in jax.tree_util.tree_leaves(v):
-                    _ = float(jnp.asarray(leaf).reshape(-1)[0])
+                    a = jnp.asarray(leaf).reshape(-1)
+                    if a.size:
+                        _ = float(a[0])
 
         ph = {}
 
@@ -291,52 +176,23 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             ph[name] = best
             return out
 
-        if reducers is not None:
-            b64, K_cell_b, K_facet = timed(
-                "assemble_df+rhs_df",
-                lambda: assemble_df(
-                    reducers, rhs_tables, cell_JinvT_b, cell_wdetT_b,
-                    prob64.facet_dom, u64,
-                ),
-                u64,
-            )
-            bound = timed(
-                "bind_facet",
-                lambda: bind_facet(reducers, K_cell_b, K_facet),
-                K_cell_b, K_facet,
-            )
-            S32 = timed("probe",
-                        lambda: probe32_bound(reducers, bound), bound)
-        else:
-            blocks64, b64 = timed(
-                "assemble64+rhs", lambda: assemble64(form64, M64, u64), u64
-            )
-            blocks32 = timed(
-                "downcast", lambda: downcast_blocks(blocks64), blocks64
-            )
-            S32 = timed(
-                "probe", lambda: probe32(form64, M64, blocks32), blocks32
-            )
-        mg = timed("mg_build", lambda: build_mg(S32), S32)
+        b64, K_cell_b, K_facet = timed(
+            "assemble_df+rhs_df", lambda: solver.assemble(), u64)
+        bound = timed("bind_facet",
+                      lambda: solver.bind(K_cell_b, K_facet),
+                      K_cell_b, K_facet)
+        S32 = timed("probe", lambda: solver.probe(bound), bound)
+        mg = timed("mg_build", lambda: solver.build_mg(S32), S32)
         r32 = b64.astype(jnp.float32)
         dx, info = timed(
-            "cg_pass1", lambda: cg32(S32, mg, r32, 1e-6), mg, r32
-        )
+            "cg_pass1", lambda: solver._cg_fn(S32, mg, r32, 1e-6), mg, r32)
         ph["cg1_iters"] = int(info.iters)
-        x1 = accum(jnp.zeros(M64.n_bg_dofs, jnp.float64), dx)
-        if reducers is not None:
-            r64, r32b, rr = timed(
-                "residual_df",
-                lambda: residual_df(reducers, bound, b64, x1), x1
-            )
-        else:
-            r64, r32b, rr = timed(
-                "residual64",
-                lambda: residual64(form64, M64, blocks64, b64, x1), x1
-            )
+        x1 = jnp.zeros(M64.n_bg_dofs, jnp.float64) + dx.astype(jnp.float64)
+        _, r32b, _ = timed(
+            "residual_df",
+            lambda: solver._residual_fn(solver.reducers, bound, b64, x1), x1)
         dx2, info2 = timed(
-            "cg_pass2", lambda: cg32(S32, mg, r32b, 1e-4), r32b
-        )
+            "cg_pass2", lambda: solver._cg_fn(S32, mg, r32b, 1e-4), r32b)
         ph["cg2_iters"] = int(info2.iters)
         print("phases:", json.dumps(
             {k: (round(v, 4) if isinstance(v, float) else v)

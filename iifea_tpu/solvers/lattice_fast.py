@@ -1,0 +1,165 @@
+"""The gather-free TPU fast solve pipeline as a library feature.
+
+Packages the full double-float lattice pipeline (bench.py's flow) behind one
+class:
+
+  setup (host, once):  lattice-binned reducers (ops/lattice_bin.py), rhs
+                       quadrature tables, slot-bound cell geometry
+  solve (per call):    df stiffness on bound geometry -> facet bind ->
+                       gather-free f32 stencil probe  == explicit PtAP
+                       (la_utils.py:165-182 role) -> geometric multigrid ->
+                       f32 MG-PCG passes, iteratively refined with
+                       double-float binned residuals to the f64 target
+
+Scope: scalar P1 problems with one cell term and one boundary-facet term
+whose problem class provides ``rhs_df_tables``/``rhs_el_df`` and a P1 df
+stiffness (models/poisson.py). Construction raises
+``lattice_bin.LatticeBinError`` when the geometry cannot be binned — callers
+fall back to the general path (ops/projection.py + solve_ksp).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.ops import lattice_bin
+from iifea_tpu.ops import df as dfm
+from iifea_tpu.ops.multigrid import StencilMultigrid
+from iifea_tpu.ops.stencil import StencilOperator2D
+from iifea_tpu.solvers import krylov
+
+
+class BinnedLatticeSolver:
+    """End-to-end immersed solve on a 2D lattice background, gather-free.
+
+    >>> solver = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
+    >>> u_b, info = solver.solve(rtol=1e-10)
+
+    ``u_b`` is the f64 background solution; ``info`` reports the achieved
+    relative f64 residual and total f32 CG iterations.
+    """
+
+    def __init__(self, prob, M, lattice_shape):
+        from iifea_tpu.models.poisson import p1_stiffness_df_arrays
+        from iifea_tpu.ops.assembly import Form as _Form
+
+        self.prob = prob
+        self.M = M
+        self.shape = tuple(lattice_shape)
+        form = prob.form
+        self.reducers = lattice_bin.build_binned_projection(
+            form, M, self.shape, dtype=np.float32, df=True
+        )
+        self.rhs_tables = prob.rhs_df_tables(self.reducers)
+        red_c = self.reducers[0]
+        self.JinvT_b = jnp.asarray(
+            red_c.bind_static(np.asarray(prob.cell_dom.JinvT))
+        )
+        self.wdetT_b = jnp.asarray(
+            red_c.bind_static(np.asarray(prob.cell_dom.wdetT))
+        )
+        gref = np.asarray(prob.cell_dom.gphi_ref)
+        n_dofs, n_fields = form.n_dofs, form.n_fields
+        facet_kernel = form.terms[1].kernel
+
+        @jax.jit
+        def _assemble(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
+            r_el = prob.rhs_el_df(rhs_tbl)
+            b_df = lattice_bin.project_rhs_df_binned(reds, r_el)
+            b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
+            K_cell_b = p1_stiffness_df_arrays(JinvT_b, wdetT_b, gref)
+            sub = _Form.tree_unflatten(
+                ((facet_kernel,), n_dofs, n_fields), (facet_dom,)
+            )
+            K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
+            return b64, K_cell_b, K_facet
+
+        @jax.jit
+        def _bind_facet(reds, K_cell_b, K_facet):
+            return [K_cell_b, reds[1].bind_blocks_df(*K_facet)]
+
+        @jax.jit
+        def _probe(reds, bound):
+            Y = lattice_bin.probe_y_binned_bound(reds, bound)
+            return StencilOperator2D.from_probe_y(Y, self.shape, radius=2)
+
+        @jax.jit
+        def _residual_df(reds, bound, b64, x64):
+            x_df = dfm.df_from_f64(x64)
+            y_df = lattice_bin.apply_df_binned(reds, bound, x_df)
+            r_df = dfm.df_sub(dfm.df_from_f64(b64), y_df)
+            r64 = dfm.df_to_f64(r_df)
+            return r64, r_df[0], jnp.linalg.norm(r64) / jnp.linalg.norm(b64)
+
+        @jax.jit
+        def _cg32(S32, mg, r, rtol_pass):
+            # mv_ref: no Pallas custom calls in conv-bearing loop bodies
+            return krylov.cg(
+                S32.mv_ref, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
+                max_it=500, check_every=4,
+            )
+
+        @jax.jit
+        def _accum(x64, dx):
+            return x64 + dx.astype(jnp.float64)
+
+        self._assemble_fn = _assemble
+        self._bind_facet_fn = _bind_facet
+        self._probe_fn = _probe
+        self._residual_fn = _residual_df
+        self._cg_fn = _cg32
+        self._accum_fn = _accum
+
+    # -- pipeline stages (individually timeable) -------------------------------
+
+    def assemble(self, u_f=None):
+        u = (
+            jnp.zeros(self.prob.space.n_dofs, jnp.float64)
+            if u_f is None else u_f
+        )
+        return self._assemble_fn(
+            self.reducers, self.rhs_tables, self.JinvT_b, self.wdetT_b,
+            self.prob.facet_dom, u,
+        )
+
+    def bind(self, K_cell_b, K_facet):
+        return self._bind_facet_fn(self.reducers, K_cell_b, K_facet)
+
+    def probe(self, bound):
+        return self._probe_fn(self.reducers, bound)
+
+    def build_mg(self, S32):
+        # not jitted as a whole: per-level graphs, see StencilMultigrid
+        return StencilMultigrid(S32)
+
+    def refine(self, S32, mg, bound, b64, rtol, max_passes=10):
+        """f32 MG-PCG passes with df-residual iterative refinement."""
+        x64 = jnp.zeros(self.M.n_bg_dofs, jnp.float64)
+        relres, iters = 1.0, 0
+        for i in range(max_passes):
+            if i == 0:
+                r32 = b64.astype(jnp.float32)
+            else:
+                _, r32, rr = self._residual_fn(self.reducers, bound, b64, x64)
+                relres = float(rr)
+                if relres < rtol:
+                    break
+            # contract only as far as this pass needs (0.25x margin absorbs
+            # the f32 apply error), clamped to the f32 floor
+            rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
+            dx, info = self._cg_fn(S32, mg, r32, rtol_pass)
+            iters += int(info.iters)
+            x64 = self._accum_fn(x64, dx)
+        return x64, relres, iters
+
+    # -- the whole thing -------------------------------------------------------
+
+    def solve(self, rtol: float = 1e-10, max_passes: int = 10):
+        b64, K_cell_b, K_facet = self.assemble()
+        bound = self.bind(K_cell_b, K_facet)
+        S32 = self.probe(bound)
+        mg = self.build_mg(S32)
+        x64, relres, iters = self.refine(S32, mg, bound, b64, rtol,
+                                         max_passes)
+        return x64, {"rel_residual": relres, "cg_iters": iters}

@@ -171,3 +171,27 @@ def test_rhs_df_fast_path():
             jnp.linalg.norm(df_to_f64(b_df) - b_ref) / jnp.linalg.norm(b_ref)
         )
         assert rel < 1e-13, (sym, rel)
+
+
+def test_binned_lattice_solver_end_to_end():
+    """BinnedLatticeSolver (the full gather-free df pipeline as a library
+    API) matches the direct solver on supported dofs and hits the f64
+    residual target."""
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers import BinnedLatticeSolver, solve_ksp
+
+    n_bg = 24
+    mesh, M = immersed_square_problem(n_fg=48, n_bg=n_bg)
+    prob = PoissonProblem(mesh, k=1, sym=True, beta_value=10)
+    solver = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
+    u, info = solver.solve(rtol=1e-10)
+    assert info["rel_residual"] < 1e-10
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    u_d, _ = solve_ksp(A, b, method="direct")
+    d = np.asarray(A.diag())
+    mask = np.abs(d) > 0
+    scale = max(float(jnp.abs(u_d).max()), 1.0)
+    assert np.allclose(np.asarray(u)[mask], np.asarray(u_d)[mask],
+                       atol=1e-7 * scale)
