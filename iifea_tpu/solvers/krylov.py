@@ -196,13 +196,25 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
 
     V, H, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, H, cs, sn, g))
 
-    # solve the triangular system R y = g (guard exhausted directions)
+    # solve the triangular system R y = g (guard exhausted directions).
+    # Explicit back-substitution: jax.scipy.linalg.solve_triangular hangs
+    # the axon remote TPU compile under f64 (observed: zero progress after
+    # 15 min on a 100x100 system); m vector steps compile instantly and
+    # cost nothing once per restart cycle.
     R = H[:m, :m]
     diag = jnp.diag(R)
     bad = jnp.abs(diag) < 1e-300
     R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
     gm = jnp.where(bad, 0.0, g[:m])
-    y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
+
+    def back_sub(k, y):
+        j = m - 1 - k
+        # entries of R below the diagonal are zero and y[:j] is still zero,
+        # so the full row dot reduces to sum_{i>j} R[j,i] y[i]
+        yj = (gm[j] - R[j] @ y) / R[j, j]
+        return y.at[j].set(yj)
+
+    y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros_like(gm))
     dx = minv(V[:m].T @ y)
     x = x0 + dx
     return x, jnp.abs(g[m])
