@@ -142,6 +142,10 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
             dx, info = cg32(S32, mg, r32, rtol_pass)
             iters += int(info.iters)
             x64 = x64 + dx.astype(jnp.float64)
+        else:
+            # exhausted the pass budget: re-measure for the returned x64
+            _, _, rr = residual64(form64, M64, blocks64, b64, x64)
+            relres = float(rr)
         return x64, relres, iters
 
     t0 = time.time()

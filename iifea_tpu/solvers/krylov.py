@@ -147,7 +147,14 @@ def bicgstab(
 
 
 def _gmres_cycle(matvec, minv, b, x0, m, tol):
-    """One restart cycle of right-preconditioned GMRES; returns (x, resnorm)."""
+    """One restart cycle of right-preconditioned GMRES.
+
+    Returns (x, resnorm, steps). The cycle exits early once the
+    Givens-rotation residual estimate |g[j+1]| drops below ``tol`` —
+    the reference's KSP checks convergence every iteration
+    (common.py:628-641), and without this a solve needing ~30 iterations
+    would run a full ``m``-step cycle.
+    """
     n = b.shape[0]
     dtype = b.dtype
     r0 = b - matvec(x0)
@@ -160,8 +167,8 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     sn = jnp.zeros(m, dtype)
     g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
-    def arnoldi(j, carry):
-        V, H, cs, sn, g = carry
+    def arnoldi(carry):
+        j, (V, H, cs, sn, g) = carry
         w = matvec(minv(V[j]))
         # modified Gram-Schmidt; un-filled rows of V are zero => no-ops
         h = V @ w
@@ -192,9 +199,17 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
         col = col.at[j].set(denom).at[j + 1].set(0.0)
         H = H.at[:, j].set(col)
         g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
-        return (V, H, cs, sn, g)
+        return (j + 1, (V, H, cs, sn, g))
 
-    V, H, cs, sn, g = jax.lax.fori_loop(0, m, arnoldi, (V, H, cs, sn, g))
+    def arnoldi_cond(carry):
+        j, (V, H, cs, sn, g) = carry
+        # |g[j]| is the exact residual norm of the least-squares problem
+        # after j Arnoldi steps (right preconditioning, exact arithmetic)
+        return (j < m) & (jnp.abs(g[j]) > tol)
+
+    steps, (V, H, cs, sn, g) = jax.lax.while_loop(
+        arnoldi_cond, arnoldi, (jnp.asarray(0), (V, H, cs, sn, g))
+    )
 
     # solve the triangular system R y = g (guard exhausted directions).
     # Explicit back-substitution: jax.scipy.linalg.solve_triangular hangs
@@ -217,7 +232,7 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros_like(gm))
     dx = minv(V[:m].T @ y)
     x = x0 + dx
-    return x, jnp.abs(g[m])
+    return x, jnp.abs(g[steps]), steps
 
 
 def gmres(
@@ -239,17 +254,19 @@ def gmres(
     max_cycles = max(max_it // max(restart, 1) + 1, 1)
 
     def cond(s):
-        x, rn, it = s
-        return (rn > tol) & (it < max_cycles)
+        x, rn, it, cyc = s
+        return (rn > tol) & (cyc < max_cycles)
 
     def body(s):
-        x, rn, it = s
-        x, rn = _gmres_cycle(matvec, minv, b, x, restart, tol)
-        return (x, rn, it + 1)
+        x, rn, it, cyc = s
+        x, rn, steps = _gmres_cycle(matvec, minv, b, x, restart, tol)
+        return (x, rn, it + steps, cyc + 1)
 
     r0n = jnp.linalg.norm(b - matvec(x0))
-    x, rn, cycles = jax.lax.while_loop(cond, body, (x0, r0n, jnp.asarray(0)))
-    return x, SolveInfo(cycles * restart, rn, rn <= tol)
+    x, rn, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, r0n, jnp.asarray(0), jnp.asarray(0))
+    )
+    return x, SolveInfo(iters, rn, rn <= tol)
 
 
 def gcr(

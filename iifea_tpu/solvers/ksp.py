@@ -20,6 +20,7 @@ Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
 from __future__ import annotations
 
 import warnings
+import weakref
 from functools import partial
 
 import numpy as np
@@ -32,6 +33,30 @@ from iifea_tpu.solvers.direct import solve_direct
 from iifea_tpu.solvers.trim import apply_trim_rhs, trim_mask_from_diag
 
 _NO_TPU_PC = {"ASM", "ICC", "ILU", "ILUT"}
+
+# binned-projection tables are a host-side pass over every element plus
+# device uploads; repeated solve_ksp(pc='mg') calls on the same (form, M)
+# must not pay that setup each time. Weak keys: dropping the form/M frees
+# the tables.
+_BINNED_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_BINNED_FAIL = object()  # sentinel: binning raised LatticeBinError
+
+
+def _binned_reducers_cached(form, M, shape, dtype):
+    from iifea_tpu.ops import lattice_bin
+
+    per_form = _BINNED_CACHE.setdefault(form, weakref.WeakKeyDictionary())
+    key_map = per_form.setdefault(M, {})
+    key = (shape, np.dtype(dtype).name)
+    if key not in key_map:
+        try:
+            key_map[key] = lattice_bin.build_binned_projection(
+                form, M, shape, dtype=dtype
+            )
+        except lattice_bin.LatticeBinError:
+            key_map[key] = _BINNED_FAIL
+    out = key_map[key]
+    return None if out is _BINNED_FAIL else out
 
 
 def _point_block_inverse(B):
@@ -114,12 +139,9 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         # term geometry permits; falls back to the general probe otherwise
         from iifea_tpu.ops import lattice_bin
 
-        try:
-            reducers = lattice_bin.build_binned_projection(
-                A.form, A.M, shape, dtype=np.dtype(b.dtype).type
-            )
-        except lattice_bin.LatticeBinError:
-            reducers = None
+        reducers = _binned_reducers_cached(
+            A.form, A.M, shape, np.dtype(b.dtype).type
+        )
         if reducers is not None:
             @jax.jit
             def _probe_binned(reds, blocks):

@@ -48,6 +48,20 @@ class BinnedLatticeSolver:
         self.M = M
         self.shape = tuple(lattice_shape)
         form = prob.form
+        # this pipeline calls p1_stiffness_df_arrays directly (first
+        # quadrature point's reference gradients only) — valid for P1 cell
+        # terms only; a degree-2 problem would bin fine but produce a
+        # silently wrong stiffness whose own df residual still "converges"
+        if getattr(prob.space, "degree", 1) != 1:
+            raise lattice_bin.LatticeBinError(
+                "BinnedLatticeSolver requires a degree-1 (P1) foreground "
+                f"space, got degree {prob.space.degree}"
+            )
+        if len(form.terms) != 2:
+            raise lattice_bin.LatticeBinError(
+                "BinnedLatticeSolver expects the [cell, facet] two-term "
+                f"form structure, got {len(form.terms)} terms"
+            )
         self.reducers = lattice_bin.build_binned_projection(
             form, M, self.shape, dtype=np.float32, df=True
         )
@@ -151,6 +165,12 @@ class BinnedLatticeSolver:
             dx, info = self._cg_fn(S32, mg, r32, rtol_pass)
             iters += int(info.iters)
             x64 = self._accum_fn(x64, dx)
+        else:
+            # exhausted max_passes: the last CG correction was applied after
+            # the most recent residual measurement — re-measure for the x64
+            # actually returned
+            _, _, rr = self._residual_fn(self.reducers, bound, b64, x64)
+            relres = float(rr)
         return x64, relres, iters
 
     # -- the whole thing -------------------------------------------------------

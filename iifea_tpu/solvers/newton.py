@@ -149,7 +149,9 @@ def solve_newtons_linear(
     # the current u_f plays the role of L_b = Mᵀ(-rhs): R(u) = A_f u - b_f.
     blocks, L_b = _assemble(form, jnp.zeros_like(u_f), M, aux, params)
     A = BackgroundOperator(form, blocks, M)
-    u_p = jnp.zeros(M.n_bg_dofs, dtype=L_b.dtype)
+    # iterate from the caller's u_p (solveNewtonsLinear starts from the passed
+    # initial guess, common.py:335-402 — matters for warm-started load steps)
+    u_p = jnp.asarray(u_p, dtype=L_b.dtype)
     if zero_ids is not None:
         mask = mask_from_ids(zero_ids, M.n_bg_dofs)
         A = A.with_trim(mask)

@@ -48,8 +48,10 @@ def test_mg_accelerates_cg():
 def test_mg_vcycle_is_linear():
     """Fixed sweep counts => the V-cycle is a linear operator (required for
     use inside plain CG)."""
+    # min_size=9: the 17^2 fixture must build a genuine multi-level V-cycle
+    # (the default min_size=33 would make minv a single dense coarse inverse)
     S, _ = _stencil(16)
-    mg = StencilMultigrid(S)
+    mg = StencilMultigrid(S, min_size=9)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(S.n))
     v = jnp.asarray(rng.standard_normal(S.n))
