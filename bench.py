@@ -38,18 +38,20 @@ def fg_of(n_bg):
     return int(n_bg * 1.4142) // 2 * 2
 
 
-def build_problem(n_bg: int, dtype):
-    from iifea_tpu.mesh.generators import immersed_square_problem
+def build_problem(n_bg: int, dtype, dim: int = 2):
+    from iifea_tpu.mesh.generators import (
+        immersed_cube_problem,
+        immersed_square_problem,
+    )
     from iifea_tpu.models.poisson import PoissonProblem
 
-    mesh_f, M = immersed_square_problem(
-        n_fg=fg_of(n_bg), n_bg=n_bg, degree=1, dtype=dtype
-    )
+    gen = immersed_square_problem if dim == 2 else immersed_cube_problem
+    mesh_f, M = gen(n_fg=fg_of(n_bg), n_bg=n_bg, degree=1, dtype=dtype)
     prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10, dtype=dtype)
     return mesh_f, prob, M
 
 
-def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
+def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
@@ -63,15 +65,18 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
 
     t0 = time.time()
-    mesh_f, prob64, M64 = build_problem(n_bg, np.float64)
+    mesh_f, prob64, M64 = build_problem(n_bg, np.float64, dim)
     form64 = prob64.form
-    shape = (n_bg + 1, n_bg + 1)
+    shape = (n_bg + 1,) * dim
     # the whole fast pipeline is a LIBRARY feature (solvers/lattice_fast.py):
     # binned reducers + rhs tables + slot-bound geometry at setup, then
-    # df assembly -> gather-free probe -> MG -> f32 MG-PCG + df refinement
+    # df assembly -> gather-free probe (2D: color probe, 3D: cell-window
+    # congruence) -> MG -> f32 MG-PCG + df refinement
     try:
         solver = BinnedLatticeSolver(prob64, M64, shape)
     except lattice_bin.LatticeBinError:
+        if dim != 2:
+            raise  # the general fallback pipeline below is 2D-only
         solver = None
     t_setup = time.time() - t0
 
@@ -225,13 +230,13 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False):
     return out
 
 
-def run_cpu_baseline(n_bg: int, rtol: float = 1e-10):
+def run_cpu_baseline(n_bg: int, rtol: float = 1e-10, dim: int = 2):
     """Reference-equivalent CPU pipeline (runs under IIFEA_PLATFORM=cpu)."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     import jax.numpy as jnp
 
-    mesh_f, prob, M = build_problem(n_bg, np.float64)
+    mesh_f, prob, M = build_problem(n_bg, np.float64, dim)
     u0 = jnp.zeros(prob.space.n_dofs)
     blocks = [np.asarray(b) for b in prob.form.jacobian_blocks(u0)]
     rhs_f = -np.asarray(prob.form.residual(u0))
@@ -274,6 +279,7 @@ def run_cpu_baseline(n_bg: int, rtol: float = 1e-10):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-bg", type=int, default=1024)
+    p.add_argument("--dim", type=int, default=2, choices=(2, 3))
     p.add_argument("--rtol", type=float, default=1e-10)
     p.add_argument("--rebaseline", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -282,12 +288,12 @@ def main():
     args = p.parse_args()
 
     if args.cpu_baseline_only:
-        print(json.dumps(run_cpu_baseline(args.n_bg, args.rtol)))
+        print(json.dumps(run_cpu_baseline(args.n_bg, args.rtol, args.dim)))
         return
 
-    tpu = run_tpu(args.n_bg, args.rtol, args.verbose)
+    tpu = run_tpu(args.n_bg, args.rtol, args.verbose, args.dim)
 
-    key = f"n{args.n_bg}"
+    key = f"n{args.n_bg}" if args.dim == 2 else f"n{args.n_bg}_d3"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         cache = json.load(open(BASELINE_CACHE))
@@ -296,7 +302,7 @@ def main():
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--cpu-baseline-only", "--n-bg", str(args.n_bg),
-             "--rtol", str(args.rtol)],
+             "--dim", str(args.dim), "--rtol", str(args.rtol)],
             capture_output=True, text=True, env=env, timeout=3600,
         )
         cache[key] = json.loads(res.stdout.strip().splitlines()[-1])
@@ -308,8 +314,11 @@ def main():
 
     value = tpu["t_best"]
     vs = base["t_total"] / value if value > 0 else 0.0
+    tag = "" if args.dim == 2 else "3d_"
     print(json.dumps({
-        "metric": f"immersed_poisson_assemble_project_cg_{tpu['n_bg_dofs']}dofs",
+        "metric":
+            f"immersed_poisson_{tag}assemble_project_cg_"
+            f"{tpu['n_bg_dofs']}dofs",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(vs, 2),

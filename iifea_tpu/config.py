@@ -32,6 +32,21 @@ def setup(enable_x64: bool = True) -> None:
     plat = os.environ.get("IIFEA_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # persistent compile cache: first contact with a demo on the TPU pays
+    # minutes of remote compiles; cached reruns start in seconds. Off with
+    # IIFEA_NO_COMPILE_CACHE=1.
+    if not os.environ.get("IIFEA_NO_COMPILE_CACHE"):
+        # namespace by host + requested platform: XLA:CPU persists AOT
+        # executables specialized to the compiling machine's CPU features,
+        # and loading them on a different host risks SIGILL
+        tag = f"{os.uname().nodename}-{plat or 'default'}"
+        cache = os.environ.get(
+            "IIFEA_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache", tag),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _CONFIGURED = True
 
 

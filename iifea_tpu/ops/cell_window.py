@@ -1,0 +1,527 @@
+"""Cell-window Galerkin projection: the dimension-generic gather-free probe.
+
+The 2D fast path (ops/lattice_bin.py) recovers the projected stencil by
+masked color probing: 25 probe colors x 9 offset-class masks. That approach
+does not survive 3D — 125 colors x 27 classes is ~15x the arithmetic and
+~40x the memory traffic per slot — so this module replaces color probing
+with direct *per-cell window assembly*:
+
+Every foreground element binned to background cell c touches only the
+3^dim lattice nodes of the {0..2}^dim window anchored at c (the radius-2
+premise, as in lattice_bin). Collect the element's extraction rows into a
+static local matrix E_l in R^{ne x w} (w = 3^dim) and the projected
+operator's restriction to the window is
+
+    G_c = Σ_{l in cell c}  E_lᵀ K_l E_l          (w x w per cell)
+
+— a batched congruence transform the MXU executes directly (two batched
+dot_generals contracting ne and L·ne), with zero gathers and zero masked
+color passes. The stencil coefficients fall out by static placement:
+row class d1, column class d2 contribute C[δ(d2) − δ(d1)] at lattice rows
+(bbox + δ(d1)), i.e. w² shifted slice-accumulations of cell-plane arrays.
+
+Cost at equal slot count: the masked 2D probe reads every table plane
+(classes x colors)/(table width) ~ 25x; the window form reads E and the
+bound blocks O(1) times and pushes the w² work through the MXU. In 3D this
+is the difference between ~10 s and ~0.3 s per probe at 1M dofs.
+
+The double-float residual/rhs paths reuse the lattice_bin design (per-class
+shifted slices + elementwise df arithmetic), generalized to w classes.
+
+Reference role: the PtAP of la_utils.py:165-182 (explicit background
+assembly) on lattice backgrounds, and the AT_x rhs projection of
+la_utils.py:143-163 — for any spatial dimension.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iifea_tpu.ops.lattice_bin import LatticeBinError
+
+
+def _class_offsets(dim: int) -> np.ndarray:
+    """(w, dim) int offsets of window class k (mixed-radix base 3)."""
+    w = 3**dim
+    ks = np.arange(w)
+    out = np.zeros((w, dim), dtype=np.int64)
+    for d in range(dim - 1, -1, -1):
+        out[:, d] = ks % 3
+        ks = ks // 3
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class CellWindowTerm:
+    """One form term's binned window tables on an n-D lattice.
+
+    Tables (same layout family as lattice_bin.LatticeBinnedTerm2D, minus the
+    probe-color table, which window assembly does not need):
+
+      val_b  (ne, km, L, nc) f32   extraction weight of contribution slot
+      kappa  (ne, km, L, nc) int8  window class Σ δ_d·3^(dim-1-d), δ ∈ {0..2}
+      perm   (L, nc)         int32 element id + 1 (0 = padding)
+      val_lo (ne, km, L, nc) f32   df mode: low parts of the f64 weights
+
+    Cells use the bbox-cropped dense layout: nc = Π bbox_sizes, cell index
+    row-major within the bbox; placement is by static shifted slices.
+    """
+
+    def __init__(self, val_b, kappa, perm, shape, meta=None, val_lo=None,
+                 bbox=None):
+        self.val_b = val_b
+        self.kappa = kappa
+        self.perm = perm
+        self.val_lo = val_lo
+        self.shape = tuple(shape)
+        self.meta = meta                 # (ne, km, L, nc)
+        self.bbox = bbox                 # (starts tuple, sizes tuple)
+
+    @property
+    def dim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def w(self) -> int:
+        return 3 ** self.dim
+
+    def tree_flatten(self):
+        return (self.val_b, self.kappa, self.perm, self.val_lo), (
+            self.shape, self.meta, self.bbox,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        val_b, kappa, perm, val_lo = leaves
+        shape, meta, bbox = aux
+        return cls(val_b, kappa, perm, shape, meta, val_lo, bbox)
+
+    # -- host construction ----------------------------------------------------
+
+    @staticmethod
+    def build(flat_eldofs: np.ndarray, M, shape, radius: int = 2,
+              dtype=np.float32, df: bool = False) -> "CellWindowTerm":
+        """flat_eldofs: (nE, ne) foreground dof ids of the term's elements;
+        M: scalar ExtractionOperator; shape: lattice (n1+1, ..., nd+1).
+
+        Raises LatticeBinError if any element's extraction targets exceed
+        the {0..2}^dim window (elements wider than the background spacing).
+        """
+        if radius != 2:
+            raise LatticeBinError("cell-window binning implemented for radius 2")
+        shape = tuple(int(s) for s in shape)
+        dim = len(shape)
+        if M.n_bg_dofs != int(np.prod(shape)):
+            raise LatticeBinError("extraction is not scalar on this lattice")
+        eldofs = np.asarray(flat_eldofs, dtype=np.int64)     # (nE, ne)
+        nE, ne = eldofs.shape
+        idx = M.idx_np
+        val = M.val_np
+        km = idx.shape[1]
+        tidx = idx[eldofs]                                   # (nE, ne, km)
+        if df:
+            dtype = np.float32
+            tval64 = val[eldofs].astype(np.float64)
+            tval = tval64.astype(np.float32)
+            tval_lo = (tval64 - tval.astype(np.float64)).astype(np.float32)
+        else:
+            tval = val[eldofs].astype(dtype)
+            tval_lo = None
+        valid = tval != 0.0
+
+        # decompose flat node ids into lattice coordinates (row-major)
+        coords = []
+        rem = tidx
+        for d in range(dim - 1, 0, -1):
+            coords.append(rem % shape[d])
+            rem = rem // shape[d]
+        coords.append(rem)
+        coords = coords[::-1]                                # dim x (nE, ne, km)
+
+        big = np.int64(1) << 40
+        base = []
+        for d in range(dim):
+            bd = np.where(valid, coords[d], big).min(axis=(1, 2))
+            bd = np.clip(bd, 0, max(shape[d] - 3, 0))
+            base.append(bd)
+        has = valid.any(axis=(1, 2))
+        deltas = [coords[d] - base[d][:, None, None] for d in range(dim)]
+        in_win = np.ones_like(valid)
+        for d in range(dim):
+            in_win &= ((deltas[d] >= 0) & (deltas[d] <= 2)) | ~valid
+        spilled = has & ~in_win.all(axis=(1, 2))
+        if spilled.any():
+            raise LatticeBinError(
+                f"{int(spilled.sum())} elements exceed the lattice stencil "
+                "window (foreground elements wider than the background "
+                "spacing); use the general probe"
+            )
+        use = np.flatnonzero(has)
+
+        # bbox-cropped dense cell layout
+        starts = []
+        sizes = []
+        for d in range(dim):
+            bu = base[d][use]
+            s0 = int(bu.min()) if use.size else 0
+            sz = (int(bu.max()) - s0 + 1) if use.size else 1
+            starts.append(s0)
+            sizes.append(sz)
+        nc = max(int(np.prod(sizes)), 1)
+        cell = np.zeros(use.size, dtype=np.int64)
+        for d in range(dim):
+            cell = cell * sizes[d] + (base[d][use] - starts[d])
+
+        counts = np.bincount(cell, minlength=nc)
+        L = max(int(counts.max()) if counts.size else 0, 1)
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        cstarts = np.zeros(nc, dtype=np.int64)
+        np.cumsum(counts[:-1], out=cstarts[1:])
+        slot = np.arange(cell.size, dtype=np.int64) - cstarts[cell_s]
+
+        perm = np.zeros((L, nc), dtype=np.int32)
+        perm[slot, cell_s] = (use[order] + 1).astype(np.int32)
+
+        src = use[order]
+        kap = np.zeros((nE, ne, km), dtype=np.int8)
+        for d in range(dim):
+            kap = kap * 3 + np.clip(deltas[d], 0, 2).astype(np.int8)
+
+        val_t = np.zeros((ne, km, L, nc), dtype=dtype)
+        kap_t = np.zeros((ne, km, L, nc), dtype=np.int8)
+        val_t[:, :, slot, cell_s] = np.moveaxis(
+            np.where(valid[src], tval[src], 0.0), 0, -1
+        )
+        kap_t[:, :, slot, cell_s] = np.moveaxis(kap[src], 0, -1)
+        val_lo_t = None
+        if df:
+            val_lo_t = np.zeros((ne, km, L, nc), dtype=np.float32)
+            val_lo_t[:, :, slot, cell_s] = np.moveaxis(
+                np.where(valid[src], tval_lo[src], 0.0), 0, -1
+            )
+        return CellWindowTerm(
+            jnp.asarray(val_t), jnp.asarray(kap_t), jnp.asarray(perm),
+            shape, meta=(ne, km, L, nc),
+            val_lo=jnp.asarray(val_lo_t) if val_lo_t is not None else None,
+            bbox=(tuple(starts), tuple(sizes)),
+        )
+
+    # -- runtime binding (same contiguous-row gather as lattice_bin) -----------
+
+    def bind_blocks(self, K: jnp.ndarray) -> jnp.ndarray:
+        """(ne, ne, nE) element blocks -> binned (ne, ne, L, nc)."""
+        ne = self.meta[0]
+        L, nc = self.meta[2], self.meta[3]
+        dt = self.val_b.dtype
+        rows = K.astype(dt).reshape(ne * ne, -1).T
+        rows = jnp.concatenate([jnp.zeros((1, ne * ne), dt), rows], axis=0)
+        out = rows[self.perm.reshape(-1)]
+        return out.T.reshape(ne, ne, L, nc)
+
+    def bind_blocks_df(self, K_hi: jnp.ndarray, K_lo: jnp.ndarray):
+        ne = self.meta[0]
+        L, nc = self.meta[2], self.meta[3]
+        wd = 2 * ne * ne
+        rows = jnp.stack([K_hi, K_lo]).reshape(wd, -1).T
+        rows = jnp.concatenate([jnp.zeros((1, wd), jnp.float32), rows], axis=0)
+        out = rows[self.perm.reshape(-1)]
+        Kb = out.T.reshape(2, ne, ne, L, nc)
+        return Kb[0], Kb[1]
+
+    def bind_static(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side: bind static per-element data (..., nE) into (..., L, nc)."""
+        a = np.asarray(arr)
+        pad = np.zeros(a.shape[:-1] + (1,), a.dtype)
+        perm = np.asarray(self.perm)
+        return np.concatenate([pad, a], axis=-1)[..., perm]
+
+    # -- window assembly (the probe replacement) --------------------------------
+
+    def window_g(self, Kb: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
+        """G (nc, w, w) = Σ_l E_lᵀ K_l E_l — batched congruence on the MXU.
+
+        Kb: bound element blocks (ne, ne, L, nc). ``chunk``: cells per
+        batch; columns are processed in static slices so the E workspace
+        stays bounded (default targets ~256 MB of E per chunk).
+        """
+        ne, km, L, nc = self.meta
+        w = self.w
+        dt = Kb.dtype
+        if chunk is None:
+            chunk = max(int(256e6 // (max(L, 1) * ne * w * 4)), 1)
+        chunk = min(chunk, nc)
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def g_of(sl_lo, sl_n):
+            val = jax.lax.dynamic_slice_in_dim(self.val_b, sl_lo, sl_n, 3)
+            kap = jax.lax.dynamic_slice_in_dim(self.kappa, sl_lo, sl_n, 3)
+            Kc = jax.lax.dynamic_slice_in_dim(Kb, sl_lo, sl_n, 3)
+            cols = []
+            for d in range(w):
+                acc = jnp.zeros((ne, L, sl_n), dt)
+                for ka in range(km):
+                    acc = acc + val[:, ka] * (kap[:, ka] == d).astype(dt)
+                cols.append(acc)
+            E = jnp.stack(cols, axis=1)                  # (ne, w, L, ncc)
+            E_b = jnp.transpose(E, (2, 3, 0, 1))         # (L, ncc, ne, w)
+            K_b = jnp.transpose(Kc, (2, 3, 0, 1))        # (L, ncc, ne, ne)
+            # T[l,c] = K_l E_l : batch (L, ncc), contract ne
+            T = jax.lax.dot_general(
+                K_b, E_b, (((3,), (2,)), ((0, 1), (0, 1))), precision=hi,
+            )                                            # (L, ncc, ne, w)
+            # G[c] = Σ_{l,a} E[l,c,a,:]ᵀ T[l,c,a,:] : batch ncc, contract (L, ne)
+            G = jax.lax.dot_general(
+                E_b, T, (((0, 2), (0, 2)), ((1,), (1,))), precision=hi,
+            )                                            # (ncc, w, w)
+            return G
+
+        if chunk >= nc:
+            return g_of(0, nc)
+        outs = []
+        for lo in range(0, nc, chunk):
+            outs.append(g_of(lo, min(chunk, nc - lo)))
+        return jnp.concatenate(outs, axis=0)
+
+    def stencil_coeffs(self, G: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
+        """Window operators -> stencil coefficient planes ((2r+1)^dim, *shape).
+
+        Row class d1, column class d2 contribute at offset δ(d2) − δ(d1)
+        (∈ [−2, 2]^dim) on lattice rows bbox_start + δ(d1): w² static
+        shifted slice-accumulations, no scatters. Accumulates into per-k
+        planes (not one big C via .at[k]) to keep the jit graph free of
+        full-tensor copies.
+        """
+        dim = self.dim
+        w = self.w
+        m = 2 * radius + 1
+        starts, sizes = self.bbox
+        offs = _class_offsets(dim)
+        planes = [jnp.zeros(self.shape, G.dtype) for _ in range(m ** dim)]
+        Gc = G.reshape((-1, w, w))
+        for d1 in range(w):
+            place = tuple(starts[d] + int(offs[d1, d]) for d in range(dim))
+            for d2 in range(w):
+                o = offs[d2] - offs[d1]                  # in [-2, 2]^dim
+                k = 0
+                for d in range(dim):
+                    k = k * m + int(o[d]) + radius
+                cur = jax.lax.dynamic_slice(planes[k], place, sizes)
+                planes[k] = jax.lax.dynamic_update_slice(
+                    planes[k], cur + Gc[:, d1, d2].reshape(sizes), place
+                )
+        return jnp.stack(planes)
+
+    # -- rhs projection + df operator application -------------------------------
+
+    def _x_class_slices(self, x_nd):
+        """Per-class source planes x[bbox + δ(d)] as (nc,) vectors."""
+        starts, sizes = self.bbox
+        offs = _class_offsets(self.dim)
+        out = []
+        for d in range(self.w):
+            place = tuple(starts[k] + int(offs[d, k]) for k in range(self.dim))
+            out.append(
+                jax.lax.dynamic_slice(x_nd, place, sizes).reshape(-1)
+            )
+        return out
+
+    # Class selection / projection run as fori_loops over the w window
+    # classes (27 in 3D): the loop body — one masked pass over the (L, nc)
+    # slot table — is traced ONCE, keeping jit graphs small where an
+    # unrolled per-class expansion (w · km · ne bodies) stalls XLA.
+
+    def _select_classes(self, kap, Xh, Xl):
+        """Slot-table gather-free select: out[l,c] = X[kap[l,c], c].
+        Classes partition slots, so the masked accumulation is exact
+        (plain f32 adds of disjoint supports). X*: (w, nc); kap: (L, nc)."""
+        f32 = jnp.float32
+        L, nc = kap.shape
+
+        def body(d, acc):
+            m = (kap == d.astype(kap.dtype)).astype(f32)
+            return (acc[0] + m * Xh[d][None, :], acc[1] + m * Xl[d][None, :])
+
+        init = (jnp.zeros((L, nc), f32), jnp.zeros((L, nc), f32))
+        return jax.lax.fori_loop(0, self.w, body, init)
+
+    def _project_classes(self, kap, V):
+        """Per-class slot sums: out[d, c] = Σ_l V[l, c]·[kap[l,c] = d],
+        V a (L, nc) df pair -> (w, nc) df. Each class row is written once
+        (disjoint partition); the L-sum is the compensated tree df_sum."""
+        from iifea_tpu.ops import df as dfm
+
+        f32 = jnp.float32
+        nc = kap.shape[1]
+
+        def body(d, out):
+            m = (kap == d.astype(kap.dtype)).astype(f32)
+            sh, sl = dfm.df_sum((V[0] * m, V[1] * m), 0)
+            return (
+                jax.lax.dynamic_update_index_in_dim(out[0], sh, d, 0),
+                jax.lax.dynamic_update_index_in_dim(out[1], sl, d, 0),
+            )
+
+        init = (jnp.zeros((self.w, nc), f32), jnp.zeros((self.w, nc), f32))
+        return jax.lax.fori_loop(0, self.w, body, init)
+
+    def _place_classes(self, acc, dtype):
+        """Inverse of _x_class_slices: accumulate per-class (w, nc) planes
+        onto the lattice."""
+        starts, sizes = self.bbox
+        offs = _class_offsets(self.dim)
+        Y = jnp.zeros(self.shape, dtype)
+        for d in range(self.w):
+            place = tuple(starts[k] + int(offs[d, k]) for k in range(self.dim))
+            cur = jax.lax.dynamic_slice(Y, place, sizes)
+            Y = jax.lax.dynamic_update_slice(
+                Y, cur + acc[d].reshape(sizes), place
+            )
+        return Y.reshape(-1)
+
+    def _place_classes_df(self, acc_df):
+        """df variant of _place_classes: acc_df a (w, nc) df pair."""
+        from iifea_tpu.ops import df as dfm
+
+        starts, sizes = self.bbox
+        offs = _class_offsets(self.dim)
+        f32 = jnp.float32
+        Yh = jnp.zeros(self.shape, f32)
+        Yl = jnp.zeros(self.shape, f32)
+        for d in range(self.w):
+            place = tuple(starts[k] + int(offs[d, k]) for k in range(self.dim))
+            cur = (jax.lax.dynamic_slice(Yh, place, sizes),
+                   jax.lax.dynamic_slice(Yl, place, sizes))
+            new = dfm.df_add(cur, (acc_df[0][d].reshape(sizes),
+                                   acc_df[1][d].reshape(sizes)))
+            Yh = jax.lax.dynamic_update_slice(Yh, new[0], place)
+            Yl = jax.lax.dynamic_update_slice(Yl, new[1], place)
+        return Yh.reshape(-1), Yl.reshape(-1)
+
+    def project_rhs(self, r_el: jnp.ndarray) -> jnp.ndarray:
+        """y = Mᵀ_term r from bound element residuals (ne, L, nc), f32/f64."""
+        ne, km, L, nc = self.meta
+        dt = r_el.dtype
+
+        def body(d, acc):
+            s = jnp.zeros((nc,), dt)
+            for a in range(ne):
+                for ka in range(km):
+                    m = (self.kappa[a, ka] == d.astype(self.kappa.dtype))
+                    V = self.val_b[a, ka].astype(dt) * r_el[a]
+                    s = s + (V * m.astype(dt)).sum(axis=0)
+            return jax.lax.dynamic_update_index_in_dim(acc, s, d, 0)
+
+        acc = jax.lax.fori_loop(
+            0, self.w, body, jnp.zeros((self.w, nc), dt)
+        )
+        return self._place_classes(acc, dt)
+
+    def project_rhs_df(self, r_el_df):
+        """df rhs projection (the la_utils.py:143-163 AT_x role), gather-free."""
+        from iifea_tpu.ops import df as dfm
+
+        ne, km, L, nc = self.meta
+        r_hi, r_lo = r_el_df
+        f32 = jnp.float32
+        out = (jnp.zeros((self.w, nc), f32), jnp.zeros((self.w, nc), f32))
+        for a in range(ne):
+            for ka in range(km):
+                V = dfm.df_mul(
+                    (self.val_b[a, ka], self.val_lo[a, ka]),
+                    (r_hi[a], r_lo[a]),
+                )
+                out = dfm.df_add(
+                    out, self._project_classes(self.kappa[a, ka], V)
+                )
+        return self._place_classes_df(out)
+
+    def apply_df(self, Kb_df, x_df):
+        """y = (Mᵀ A_term M) x in double-float, gather-free (~1e-14 relative;
+        the iterative-refinement residual path — same role as
+        lattice_bin.LatticeBinnedTerm2D.apply_df, w classes)."""
+        from iifea_tpu.ops import df as dfm
+
+        ne, km, L, nc = self.meta
+        K_hi, K_lo = Kb_df
+        f32 = jnp.float32
+        Xh = jnp.stack(self._x_class_slices(x_df[0].reshape(self.shape)))
+        Xl = jnp.stack(self._x_class_slices(x_df[1].reshape(self.shape)))
+
+        xe = []
+        for b in range(ne):
+            acc = (jnp.zeros((L, nc), f32), jnp.zeros((L, nc), f32))
+            for kb in range(km):
+                v = (self.val_b[b, kb], self.val_lo[b, kb])
+                s = self._select_classes(self.kappa[b, kb], Xh, Xl)
+                acc = dfm.df_add(acc, dfm.df_mul(v, s))
+            xe.append(acc)
+        ye = []
+        for a in range(ne):
+            acc = (jnp.zeros((L, nc), f32), jnp.zeros((L, nc), f32))
+            for b in range(ne):
+                acc = dfm.df_add(
+                    acc, dfm.df_mul((K_hi[a, b], K_lo[a, b]), xe[b])
+                )
+            ye.append(acc)
+        out = (jnp.zeros((self.w, nc), f32), jnp.zeros((self.w, nc), f32))
+        for a in range(ne):
+            for ka in range(km):
+                V = dfm.df_mul((self.val_b[a, ka], self.val_lo[a, ka]), ye[a])
+                out = dfm.df_add(
+                    out, self._project_classes(self.kappa[a, ka], V)
+                )
+        return self._place_classes_df(out)
+
+
+# -- form-level helpers --------------------------------------------------------
+
+
+def build_window_projection(form, M, shape, radius: int = 2,
+                            dtype=np.float32,
+                            df: bool = False) -> list[CellWindowTerm]:
+    """Cell-window tables for every term of a form (host, setup-time)."""
+    if form.n_fields != 1:
+        raise LatticeBinError("cell-window binning covers scalar fields")
+    reducers = []
+    for dom, _ in form.terms:
+        fl = getattr(dom, "flat_eldofs_np", None)
+        if fl is None:
+            fl = np.asarray(dom.eldofsT).T
+        reducers.append(
+            CellWindowTerm.build(fl, M, shape, radius, dtype=dtype, df=df)
+        )
+    return reducers
+
+
+def stencil_coeffs_windows(reducers, bound_blocks) -> jnp.ndarray:
+    """Stencil coefficient planes of Mᵀ A M summed over all form terms.
+
+    bound_blocks: per-term bound (ne, ne, L, nc) f32 blocks (hi parts in the
+    df pipeline)."""
+    C = None
+    for red, Kb in zip(reducers, bound_blocks):
+        G = red.window_g(Kb)
+        Ct = red.stencil_coeffs(G)
+        C = Ct if C is None else C + Ct
+    return C
+
+
+def apply_df_windows(reducers, bound, x_df):
+    from iifea_tpu.ops import df as dfm
+
+    y = reducers[0].apply_df(bound[0], x_df)
+    for red, Kb in zip(reducers[1:], bound[1:]):
+        y = dfm.df_add(y, red.apply_df(Kb, x_df))
+    return y
+
+
+def project_rhs_df_windows(reducers, r_el_dfs):
+    from iifea_tpu.ops import df as dfm
+
+    y = reducers[0].project_rhs_df(r_el_dfs[0])
+    for red, r in zip(reducers[1:], r_el_dfs[1:]):
+        y = dfm.df_add(y, red.project_rhs_df(r))
+    return y

@@ -128,11 +128,21 @@ def df_masked(a, mask):
 
 
 def df_sum(a, axis):
-    """Sum a df array along an axis via a compensated fold."""
+    """Sum a df array along an axis via a pairwise (tree) compensated
+    reduction: O(log n) df_adds in the graph instead of an O(n) sequential
+    fold — same ~2^-47 per-level error model, hardware-parallel, and keeps
+    jit graphs small when n is the binned slot depth L."""
     hi, lo = a
-    n = hi.shape[axis]
-    acc = (jnp.take(hi, 0, axis=axis), jnp.take(lo, 0, axis=axis))
-    for i in range(1, n):
-        acc = df_add(acc, (jnp.take(hi, i, axis=axis),
-                           jnp.take(lo, i, axis=axis)))
-    return acc
+    hi = jnp.moveaxis(hi, axis, 0)
+    lo = jnp.moveaxis(lo, axis, 0)
+    n = hi.shape[0]
+    while n > 1:
+        m = n // 2
+        acc = df_add((hi[:m], lo[:m]), (hi[m:2 * m], lo[m:2 * m]))
+        if n % 2:
+            head = df_add((acc[0][:1], acc[1][:1]), (hi[-1:], lo[-1:]))
+            acc = (jnp.concatenate([head[0], acc[0][1:]]),
+                   jnp.concatenate([head[1], acc[1][1:]]))
+        hi, lo = acc
+        n = m
+    return hi[0], lo[0]

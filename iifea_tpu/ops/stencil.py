@@ -474,48 +474,31 @@ class StencilOperator3D:
         )                                                       # (m³, n)
         Y = matvec_multi(X).astype(dtype)                       # (m³, n)
 
-        nxp = -(-nx1 // m) * m
-        nyp = -(-ny1 // m) * m
-        nzp = -(-nz1 // m) * m
-        Y4 = jnp.pad(
-            Y.reshape(m**3, nx1, ny1, nz1),
-            ((0, 0), (0, nxp - nx1), (0, nyp - ny1), (0, nzp - nz1)),
-        ).reshape(m**3, nxp // m, m, nyp // m, m, nzp // m, m)
-        Cs = []
-        for oi in range(-r, r + 1):
-            for oj in range(-r, r + 1):
-                for ok in range(-r, r + 1):
-                    # blk[Bi, p, Bj, q, Bk, s] = Y4[color(p,q,s), Bi,p, Bj,q, Bk,s]
-                    blk = jnp.stack(
-                        [
-                            jnp.stack(
-                                [
-                                    jnp.stack(
-                                        [
-                                            Y4[
-                                                (((p + oi) % m) * m
-                                                 + ((q + oj) % m)) * m
-                                                + ((s + ok) % m),
-                                                :, p, :, q, :, s,
-                                            ]
-                                            for s in range(m)
-                                        ],
-                                        axis=-1,
-                                    )          # (Bi, Bj, Bk, s)
-                                    for q in range(m)
-                                ],
-                                axis=-1,
-                            )                  # (Bi, Bj, Bk, s, q)
-                            for p in range(m)
-                        ],
-                        axis=-1,
-                    )                          # (Bi, Bj, Bk, s, q, p)
-                    blk = blk.transpose(0, 5, 1, 4, 2, 3)
-                    Cs.append(blk.reshape(nxp, nyp, nzp))
-        C = jnp.stack(Cs)
-        return StencilOperator3D(
-            C[:, :nx1, :ny1, :nz1], shape, r
+        # class extraction: coefficient k (offset o = (oi,oj,ok)) at node
+        # (i,j,k) is Y[color((i+oi)%m, (j+oj)%m, (k+ok)%m), i, j, k] — one
+        # leading-axis take_along_axis per offset inside a scan. The scan
+        # keeps the jit graph O(1) in m³ (the unrolled per-color slice form
+        # is 15k+ ops in 3D and stalls the TPU compiler for minutes).
+        Yr = Y.reshape(m**3, nx1, ny1, nz1)
+        P = I % m
+        Q = J % m
+        S_ = K % m
+        offs = jnp.asarray(
+            [
+                (oi, oj, ok)
+                for oi in range(-r, r + 1)
+                for oj in range(-r, r + 1)
+                for ok in range(-r, r + 1)
+            ],
+            dtype=jnp.int32,
         )
+
+        def body(_, o):
+            idx = ((P + o[0]) % m * m + (Q + o[1]) % m) * m + (S_ + o[2]) % m
+            return None, jnp.take_along_axis(Yr, idx[None], axis=0)[0]
+
+        _, C = jax.lax.scan(body, None, offs)
+        return StencilOperator3D(C, shape, r)
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A_b x as (2r+1)³ shifted dense multiply-adds."""

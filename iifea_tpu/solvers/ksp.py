@@ -43,16 +43,18 @@ _BINNED_FAIL = object()  # sentinel: binning raised LatticeBinError
 
 
 def _binned_reducers_cached(form, M, shape, dtype):
-    from iifea_tpu.ops import lattice_bin
+    from iifea_tpu.ops import cell_window, lattice_bin
 
     per_form = _BINNED_CACHE.setdefault(form, weakref.WeakKeyDictionary())
     key_map = per_form.setdefault(M, {})
     key = (shape, np.dtype(dtype).name)
     if key not in key_map:
+        build = (
+            lattice_bin.build_binned_projection if len(shape) == 2
+            else cell_window.build_window_projection
+        )
         try:
-            key_map[key] = lattice_bin.build_binned_projection(
-                form, M, shape, dtype=dtype
-            )
+            key_map[key] = build(form, M, shape, dtype=dtype)
         except lattice_bin.LatticeBinError:
             key_map[key] = _BINNED_FAIL
     out = key_map[key]
@@ -91,10 +93,15 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
     """Stencil-probe the projected operator and MG-precondition the Krylov
     solve (the 'mg' pc): the bench.py fast path as a library feature.
 
-    Scalar 2D and 3D lattices get the geometric-multigrid V-cycle; block
-    (multi-field) operators currently get stencil-point-block-Jacobi — still
-    the dense shifted-FMA matvec instead of the gather-bound general path."""
-    from iifea_tpu.ops.multigrid import StencilMultigrid, StencilMultigrid3D
+    Scalar 2D and 3D lattices and block (multi-field) 2D lattices get the
+    geometric-multigrid V-cycle (StencilMultigrid / StencilMultigrid3D /
+    StencilMultigridBlock) — always the dense shifted-FMA matvec instead of
+    the gather-bound general path."""
+    from iifea_tpu.ops.multigrid import (
+        StencilMultigrid,
+        StencilMultigrid3D,
+        StencilMultigridBlock,
+    )
     from iifea_tpu.ops.stencil import (
         StencilOperator2D,
         StencilOperator3D,
@@ -111,44 +118,48 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
                 dtype=b.dtype,
             )
         )(A)
-        mg = None
-        Binv = jax.jit(_point_block_inverse)(S.point_block_diag())
+        mg = StencilMultigridBlock(S)
 
         @partial(jax.jit, static_argnames=("method", "max_it"))
-        def run(S, Binv, b, x0, rtol, atol, method, max_it):
-            nF, _, nn = Binv.shape
-
-            def minv(r):
-                y = jnp.einsum("abn,bn->an", Binv, r.reshape(nF, nn))
-                return y.reshape(-1)
-
-            kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+        def run(S, mgp, b, x0, rtol, atol, method, max_it):
+            kw = dict(minv=mgp.minv, rtol=rtol, atol=atol, max_it=max_it)
             if method == "cg":
                 return krylov.cg(S.mv, b, x0, **kw)
             return krylov.gmres(S.mv, b, x0, restart=100, **kw)
 
         return run(
-            S, Binv, b, x0, jnp.asarray(rtol, b.dtype),
+            S, mg, b, x0, jnp.asarray(rtol, b.dtype),
             jnp.asarray(atol, b.dtype), method, int(max_it),
         )
 
     op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
     S = None
-    if len(shape) == 2 and A.trim_mask is None and A.form.space is not None:
-        # gather-free lattice-binned probe (ops/lattice_bin.py) when the
-        # term geometry permits; falls back to the general probe otherwise
-        from iifea_tpu.ops import lattice_bin
+    if A.trim_mask is None and A.form.space is not None:
+        # gather-free binned probe (ops/lattice_bin.py in 2D, cell-window
+        # congruence assembly in 3D) when the term geometry permits; falls
+        # back to the general probe otherwise
+        from iifea_tpu.ops import cell_window, lattice_bin
 
         reducers = _binned_reducers_cached(
             A.form, A.M, shape, np.dtype(b.dtype).type
         )
         if reducers is not None:
-            @jax.jit
-            def _probe_binned(reds, blocks):
-                Y = lattice_bin.probe_y_binned(reds, blocks)
-                return StencilOperator2D.from_probe_y(
-                    Y, shape, radius=2, dtype=b.dtype
-                )
+            if len(shape) == 2:
+                @jax.jit
+                def _probe_binned(reds, blocks):
+                    Y = lattice_bin.probe_y_binned(reds, blocks)
+                    return StencilOperator2D.from_probe_y(
+                        Y, shape, radius=2, dtype=b.dtype
+                    )
+            else:
+                @jax.jit
+                def _probe_binned(reds, blocks):
+                    bound = [
+                        r.bind_blocks(K.astype(b.dtype))
+                        for r, K in zip(reds, blocks)
+                    ]
+                    C = cell_window.stencil_coeffs_windows(reds, bound)
+                    return StencilOperator3D(C, shape, 2)
 
             S = _probe_binned(reducers, A.blocks)
     if S is None:

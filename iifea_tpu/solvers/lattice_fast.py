@@ -23,15 +23,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from iifea_tpu.ops import lattice_bin
+from iifea_tpu.ops import cell_window, lattice_bin
 from iifea_tpu.ops import df as dfm
-from iifea_tpu.ops.multigrid import StencilMultigrid
-from iifea_tpu.ops.stencil import StencilOperator2D
+from iifea_tpu.ops.multigrid import StencilMultigrid, StencilMultigrid3D
+from iifea_tpu.ops.stencil import StencilOperator2D, StencilOperator3D
 from iifea_tpu.solvers import krylov
 
 
 class BinnedLatticeSolver:
-    """End-to-end immersed solve on a 2D lattice background, gather-free.
+    """End-to-end immersed solve on a lattice background, gather-free.
+
+    2D lattices use the masked color probe (ops/lattice_bin.py); 3D lattices
+    use cell-window congruence assembly (ops/cell_window.py) — the same df
+    pipeline either way, the TPU-native stand-in for the reference's 3D
+    MUMPS route (demos/poisson.py:207-210).
 
     >>> solver = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
     >>> u_b, info = solver.solve(rtol=1e-10)
@@ -47,6 +52,11 @@ class BinnedLatticeSolver:
         self.prob = prob
         self.M = M
         self.shape = tuple(lattice_shape)
+        self.dim = len(self.shape)
+        if self.dim not in (2, 3):
+            raise lattice_bin.LatticeBinError(
+                f"BinnedLatticeSolver covers 2D/3D lattices, got {self.dim}D"
+            )
         form = prob.form
         # this pipeline calls p1_stiffness_df_arrays directly (first
         # quadrature point's reference gradients only) — valid for P1 cell
@@ -62,9 +72,14 @@ class BinnedLatticeSolver:
                 "BinnedLatticeSolver expects the [cell, facet] two-term "
                 f"form structure, got {len(form.terms)} terms"
             )
-        self.reducers = lattice_bin.build_binned_projection(
-            form, M, self.shape, dtype=np.float32, df=True
-        )
+        if self.dim == 2:
+            self.reducers = lattice_bin.build_binned_projection(
+                form, M, self.shape, dtype=np.float32, df=True
+            )
+        else:
+            self.reducers = cell_window.build_window_projection(
+                form, M, self.shape, dtype=np.float32, df=True
+            )
         self.rhs_tables = prob.rhs_df_tables(self.reducers)
         red_c = self.reducers[0]
         self.JinvT_b = jnp.asarray(
@@ -77,10 +92,17 @@ class BinnedLatticeSolver:
         n_dofs, n_fields = form.n_dofs, form.n_fields
         facet_kernel = form.terms[1].kernel
 
+        if self.dim == 2:
+            _project_rhs_df = lattice_bin.project_rhs_df_binned
+            _apply_df = lattice_bin.apply_df_binned
+        else:
+            _project_rhs_df = cell_window.project_rhs_df_windows
+            _apply_df = cell_window.apply_df_windows
+
         @jax.jit
         def _assemble(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
             r_el = prob.rhs_el_df(rhs_tbl)
-            b_df = lattice_bin.project_rhs_df_binned(reds, r_el)
+            b_df = _project_rhs_df(reds, r_el)
             b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
             K_cell_b = p1_stiffness_df_arrays(JinvT_b, wdetT_b, gref)
             sub = _Form.tree_unflatten(
@@ -95,13 +117,20 @@ class BinnedLatticeSolver:
 
         @jax.jit
         def _probe(reds, bound):
-            Y = lattice_bin.probe_y_binned_bound(reds, bound)
-            return StencilOperator2D.from_probe_y(Y, self.shape, radius=2)
+            if self.dim == 2:
+                Y = lattice_bin.probe_y_binned_bound(reds, bound)
+                return StencilOperator2D.from_probe_y(
+                    Y, self.shape, radius=2
+                )
+            C = cell_window.stencil_coeffs_windows(
+                reds, [Kb[0] for Kb in bound]
+            )
+            return StencilOperator3D(C, self.shape, 2)
 
         @jax.jit
         def _residual_df(reds, bound, b64, x64):
             x_df = dfm.df_from_f64(x64)
-            y_df = lattice_bin.apply_df_binned(reds, bound, x_df)
+            y_df = _apply_df(reds, bound, x_df)
             r_df = dfm.df_sub(dfm.df_from_f64(b64), y_df)
             r64 = dfm.df_to_f64(r_df)
             return r64, r_df[0], jnp.linalg.norm(r64) / jnp.linalg.norm(b64)
@@ -109,8 +138,9 @@ class BinnedLatticeSolver:
         @jax.jit
         def _cg32(S32, mg, r, rtol_pass):
             # mv_ref: no Pallas custom calls in conv-bearing loop bodies
+            mv = S32.mv_ref if self.dim == 2 else S32.mv
             return krylov.cg(
-                S32.mv_ref, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
+                mv, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
                 max_it=500, check_every=4,
             )
 
@@ -145,7 +175,9 @@ class BinnedLatticeSolver:
 
     def build_mg(self, S32):
         # not jitted as a whole: per-level graphs, see StencilMultigrid
-        return StencilMultigrid(S32)
+        if self.dim == 2:
+            return StencilMultigrid(S32)
+        return StencilMultigrid3D(S32)
 
     def refine(self, S32, mg, bound, b64, rtol, max_passes=10):
         """f32 MG-PCG passes with df-residual iterative refinement."""

