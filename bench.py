@@ -34,8 +34,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
 
 
-def fg_of(n_bg):
-    return int(n_bg * 1.4142) // 2 * 2
+def fg_of(n_bg, dim=2):
+    # 2D: the sqrt(2) fg/bg spacing ratio of the reference workloads.
+    # 3D: 1.19 (cube-root-ish) — each bg cell still holds ~10 misaligned
+    # tets, but the (L, nc) slot tables stay inside 16G HBM at 1M bg dofs
+    # (the 1.41 ratio OOMs: 6x1.41^3 ~ 17 tets/cell, max-slot padding x48).
+    r = 1.4142 if dim == 2 else 1.19
+    return int(n_bg * r) // 2 * 2
 
 
 def build_problem(n_bg: int, dtype, dim: int = 2):
@@ -46,7 +51,7 @@ def build_problem(n_bg: int, dtype, dim: int = 2):
     from iifea_tpu.models.poisson import PoissonProblem
 
     gen = immersed_square_problem if dim == 2 else immersed_cube_problem
-    mesh_f, M = gen(n_fg=fg_of(n_bg), n_bg=n_bg, degree=1, dtype=dtype)
+    mesh_f, M = gen(n_fg=fg_of(n_bg, dim), n_bg=n_bg, degree=1, dtype=dtype)
     prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10, dtype=dtype)
     return mesh_f, prob, M
 
@@ -230,6 +235,77 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
     return out
 
 
+def run_sharded(n_bg: int, devices: int, rtol: float = 1e-10):
+    """Multi-chip-ready bench path: the same binned pipeline with the f32
+    MG-PCG running on row-block-sharded planes (parallel/stencil.py).
+
+    The fine-level matvec exchanges 2r halo rows over the 'dp' mesh axis
+    (ppermute -> ICI on real hardware); CG dots psum across devices; the MG
+    preconditioner is applied replicated (coarse-solve replication — the
+    standard trade at modest device counts). Correctness-only on the virtual
+    CPU mesh; the same code path runs unchanged on a real multi-chip mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    from iifea_tpu.parallel.sharding import make_device_mesh
+    from iifea_tpu.parallel.stencil import ShardedStencil2D
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from iifea_tpu.solvers import krylov
+
+    from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
+
+    t0 = time.time()
+    mesh_f, prob64, M64 = build_problem(n_bg, np.float64, 2)
+    shape = (n_bg + 1, n_bg + 1)
+    solver = BinnedLatticeSolver(prob64, M64, shape)
+    b64, K_cell_b, K_facet = solver.assemble()
+    bound = solver.bind(K_cell_b, K_facet)
+    S32 = solver.probe(bound)
+    mg = solver.build_mg(S32)
+
+    mesh = make_device_mesh(devices)
+    Ssh = ShardedStencil2D(S32, mesh)
+    # replicate the MG hierarchy across the mesh (it is a pytree)
+    mg = jax.device_put(mg, NamedSharding(mesh, P()))
+
+    def minv2(r2):
+        z = mg.minv(Ssh.unshard_vec(r2))
+        z2 = jnp.pad(z.reshape(shape), ((0, Ssh.nxs - shape[0]), (0, 0)))
+        return jax.lax.with_sharding_constraint(z2, Ssh._x_sharding)
+
+    @jax.jit
+    def cg_pass(b2, rtol_pass):
+        return krylov.cg(Ssh.mv2, b2, minv=minv2, rtol=rtol_pass,
+                         atol=1e-30, max_it=500, check_every=4)
+
+    x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
+    relres, iters = 1.0, 0
+    for i in range(10):
+        if i == 0:
+            r32 = b64.astype(jnp.float32)
+        else:
+            _, r32, rr = solver._residual_fn(
+                solver.reducers, bound, b64, x64
+            )
+            relres = float(rr)
+            if relres < rtol:
+                break
+        rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
+        dx2, info = cg_pass(Ssh.shard_vec(r32), jnp.float32(rtol_pass))
+        iters += int(info.iters)
+        x64 = x64 + Ssh.unshard_vec(dx2).astype(jnp.float64)
+    else:
+        _, _, rr = solver._residual_fn(solver.reducers, bound, b64, x64)
+        relres = float(rr)
+    return x64, {
+        "devices": devices,
+        "rel_residual_f64": float(relres),
+        "cg_iters": iters,
+        "n_bg_dofs": int(M64.n_bg_dofs),
+        "t_total": round(time.time() - t0, 3),
+    }
+
+
 def run_cpu_baseline(n_bg: int, rtol: float = 1e-10, dim: int = 2):
     """Reference-equivalent CPU pipeline (runs under IIFEA_PLATFORM=cpu)."""
     import scipy.sparse as sp
@@ -285,7 +361,31 @@ def main():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--cpu-baseline-only", action="store_true",
                    help="internal: run the CPU baseline and print JSON")
+    p.add_argument("--devices", type=int, default=1,
+                   help="run the sharded (row-block dp mesh) pipeline on N "
+                        "devices; provisions a virtual CPU mesh when fewer "
+                        "real devices exist (correctness path, 2D only)")
     args = p.parse_args()
+
+    if args.devices > 1:
+        import jax
+
+        if len(jax.devices()) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices}: only {len(jax.devices())} "
+                "devices visible. Provision a virtual mesh first, e.g.\n"
+                "  XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{args.devices} IIFEA_PLATFORM=cpu python bench.py ..."
+            )
+        x64, info = run_sharded(args.n_bg, args.devices, args.rtol)
+        print(json.dumps({
+            "metric": f"immersed_poisson_sharded_{info['n_bg_dofs']}dofs",
+            "value": info["rel_residual_f64"],
+            "unit": "rel_residual",
+            "vs_baseline": 0.0,
+            **{k: info[k] for k in ("devices", "cg_iters", "t_total")},
+        }))
+        return
 
     if args.cpu_baseline_only:
         print(json.dumps(run_cpu_baseline(args.n_bg, args.rtol, args.dim)))

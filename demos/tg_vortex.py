@@ -39,9 +39,21 @@ parser.add_argument('--wf', dest='wf', default=False,
                     help='write output to file')
 parser.add_argument('--of', dest='of', default='error_data_tg.csv',
                     help='output file to write error data to')
+parser.add_argument('--solv', dest='solv', default='gmres',
+                    help='Linear solver for the Newton updates')
+parser.add_argument('--pc', dest='pc', default='jacobi',
+                    help="Preconditioner; 'mg' = block geometric multigrid "
+                         "on the background lattice (synthetic meshes only)")
+parser.add_argument('--pin-pressure', dest='pin_pressure', default=False,
+                    help="Pin one supported pressure dof (removes the "
+                         "enclosed-flow constant-pressure null mode; "
+                         "recommended with --pc mg)")
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
-                                           "/root/reference/meshes"))
+                                           "/root/reference/meshes"),
+                    help="Reference mesh artifacts root, or 'synthetic' for "
+                         "a generated immersed square on a lattice "
+                         "background (enables --pc mg)")
 args = parser.parse_args()
 
 k = int(args.k)
@@ -51,9 +63,21 @@ T = float(args.T)
 symmetric = str2bool(args.symmetric)
 write_file = str2bool(args.wf)
 
-deg = 'Linear' if k == 1 else 'Quadratic'
-path = os.path.join(args.mesh_root, f"square/{deg}/R{ref}")
-mesh_f = read_mesh(path)
+lattice_shape = None
+if args.mesh_root == "synthetic":
+    from iifea_tpu.mesh.generators import immersed_square_problem
+
+    n = 8 * 2 ** int(ref)
+    n_bg = max(n // 2, 4)
+    mesh_f, M_synth = immersed_square_problem(
+        n_fg=n, n_bg=n_bg, degree=k, n_fields=3
+    )
+    lattice_shape = (n_bg + 1, n_bg + 1)
+else:
+    deg = 'Linear' if k == 1 else 'Quadratic'
+    path = os.path.join(args.mesh_root, f"square/{deg}/R{ref}")
+    mesh_f = read_mesh(path)
+    M_synth = None
 
 # Midpoint stepping, space-time quasi-uniformity (tg_vortex.py:267-273)
 N = math.sqrt(mesh_f.n_cells)
@@ -61,10 +85,15 @@ Dt_approx = 4 / N
 N_STEPS = int(np.ceil(T / Dt_approx))
 Dt = T / N_STEPS
 
-fileName = os.path.join(path, "ExOp_Cons.csv")
-
-prob = TaylorGreenProblem(mesh_f, k=k, Re=Re_num, Dt=Dt, sym=symmetric)
-M = ExtractionOperator.from_exop_csv(fileName, prob.space.n_nodes, n_fields=3)
+if M_synth is not None:
+    fileName = "synthetic"
+    M = M_synth
+else:
+    fileName = os.path.join(path, "ExOp_Cons.csv")
+    prob = TaylorGreenProblem(mesh_f, k=k, Re=Re_num, Dt=Dt, sym=symmetric)
+    M = ExtractionOperator.from_exop_csv(
+        fileName, prob.space.n_nodes, n_fields=3
+    )
 prob = TaylorGreenProblem(
     mesh_f, k=k, Re=Re_num, Dt=Dt, sym=symmetric, n_bg_dofs=M.n_bg_dofs
 )
@@ -81,6 +110,22 @@ def ic_expr(x):
 up_p, up_old_f = l2_project(ic_expr, prob.space, prob.cell_dom, M)
 up_f = up_old_f
 
+zero_ids = None
+if str2bool(args.pin_pressure):
+    # pin the pressure dof with the largest OPERATOR diagonal (field-blocked
+    # bg layout: pressure = field 2, common.py:703). Extraction weight alone
+    # is not enough — an M-referenced dof can still have a zero diagonal
+    # when the fg dofs it feeds lie outside the integration domain, and
+    # pinning a dead dof leaves the constant-pressure null mode in place.
+    from iifea_tpu.ops.projection import BackgroundOperator
+
+    blocks0 = prob.form.jacobian_blocks(
+        up_f, {"up_old": up_old_f}, {"t": jnp.asarray(0.0)}
+    )
+    d0 = np.asarray(BackgroundOperator(prob.form, blocks0, M).diag())
+    nn = M.n_bg_dofs // 3
+    zero_ids = np.array([2 * nn + int(np.argmax(d0[2 * nn:]))])
+
 t = 0.0
 for step in range(N_STEPS):
     log_info(f"======= Time step {step+1}/{N_STEPS} =======")
@@ -90,7 +135,11 @@ for step in range(N_STEPS):
         aux={"up_old": up_old_f},
         params={"t": jnp.asarray(t)},
         max_iters=10,
-        linear_method='gmres',
+        linear_method=args.solv,
+        linear_pc=args.pc,
+        lattice_shape=lattice_shape if args.pc == 'mg' else None,
+        n_fields=3,
+        zero_ids=zero_ids,
         monitor_newton=True,
         monitor_linear=False,
         relative_tolerance=5e-4,

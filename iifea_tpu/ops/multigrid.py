@@ -445,17 +445,68 @@ def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
     )
 
 
+def _adjugate_inv(Bn: jnp.ndarray):
+    """Batched closed-form (cofactor) inverse of (n, k, k) blocks, k <= 3.
+
+    jnp.linalg.inv/det lower to LU custom-calls that crash the remote TPU
+    compile helper (same failure class as SVD/eigh — see _pinv); the
+    explicit adjugate is plain VPU arithmetic. Returns (inv, det)."""
+    k = Bn.shape[-1]
+    if k == 1:
+        det = Bn[:, 0, 0]
+        return (1.0 / det)[:, None, None], det
+    if k == 2:
+        a, b = Bn[:, 0, 0], Bn[:, 0, 1]
+        c, d = Bn[:, 1, 0], Bn[:, 1, 1]
+        det = a * d - b * c
+        adj = jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return adj / det[:, None, None], det
+    if k == 3:
+        c00 = Bn[:, 1, 1] * Bn[:, 2, 2] - Bn[:, 1, 2] * Bn[:, 2, 1]
+        c01 = Bn[:, 1, 2] * Bn[:, 2, 0] - Bn[:, 1, 0] * Bn[:, 2, 2]
+        c02 = Bn[:, 1, 0] * Bn[:, 2, 1] - Bn[:, 1, 1] * Bn[:, 2, 0]
+        c10 = Bn[:, 0, 2] * Bn[:, 2, 1] - Bn[:, 0, 1] * Bn[:, 2, 2]
+        c11 = Bn[:, 0, 0] * Bn[:, 2, 2] - Bn[:, 0, 2] * Bn[:, 2, 0]
+        c12 = Bn[:, 0, 1] * Bn[:, 2, 0] - Bn[:, 0, 0] * Bn[:, 2, 1]
+        c20 = Bn[:, 0, 1] * Bn[:, 1, 2] - Bn[:, 0, 2] * Bn[:, 1, 1]
+        c21 = Bn[:, 0, 2] * Bn[:, 1, 0] - Bn[:, 0, 0] * Bn[:, 1, 2]
+        c22 = Bn[:, 0, 0] * Bn[:, 1, 1] - Bn[:, 0, 1] * Bn[:, 1, 0]
+        det = (Bn[:, 0, 0] * c00 + Bn[:, 0, 1] * c01 + Bn[:, 0, 2] * c02)
+        adj = jnp.stack(
+            [jnp.stack([c00, c10, c20], -1),
+             jnp.stack([c01, c11, c21], -1),
+             jnp.stack([c02, c12, c22], -1)], -2
+        )
+        return adj / det[:, None, None], det
+    raise NotImplementedError(f"closed-form inverse for k <= 3, got {k}")
+
+
 @jax.jit
 def _point_binv(S: "StencilOperatorBlock2D") -> jnp.ndarray:
-    """(nF, nF, nn) inverses of the nodal diagonal blocks; identity on
-    singular blocks (unsupported background nodes — the BFR guard)."""
-    B = S.point_block_diag()
+    """(nF, nF, nn) inverses of the ℓ1-REGULARIZED nodal diagonal blocks;
+    identity on singular blocks (unsupported background nodes — BFR guard).
+
+    Each node's block is B_i + diag(Σ off-block |row sums|): the block
+    analog of the l1-Jacobi diagonal (_invd3_l1). For SPD A this bounds
+    λ(D⁻¹A) ≤ 1 (ω=1 sweeps contract); on stabilized saddle-point systems
+    (NS-VMS: near-zero pressure diagonal) it keeps the smoother bounded
+    where the raw block inverse explodes."""
+    B = S.point_block_diag()                        # (nF, nF, nn)
     nF = B.shape[0]
-    Bn = jnp.moveaxis(B, -1, 0)                     # (nn, nF, nF)
+    nn = B.shape[-1]
+    # Σ_{f2,k} |C[f1, f2, k, :]| minus the center block's |row sums|
+    l1_off = (
+        jnp.abs(S.coeffs).sum(axis=(1, 2)).reshape(nF, nn)
+        - jnp.abs(B).sum(axis=1)
+    )
     eye = jnp.eye(nF, dtype=B.dtype)
-    det = jnp.linalg.det(Bn)
-    safe = jnp.where((jnp.abs(det) > 1e-30)[:, None, None], Bn, eye[None])
-    return jnp.moveaxis(jnp.linalg.inv(safe), 0, -1)
+    Breg = B + eye[:, :, None] * l1_off[:, None, :]
+    Bn = jnp.moveaxis(Breg, -1, 0)                  # (nn, nF, nF)
+    inv, det = _adjugate_inv(Bn)
+    ok = (jnp.abs(det) > 1e-30)[:, None, None]
+    return jnp.moveaxis(jnp.where(ok, inv, eye[None]), 0, -1)
 
 
 @jax.jit
@@ -496,7 +547,7 @@ class StencilMultigridBlock:
         S: StencilOperatorBlock2D,
         nu_pre: int = 2,
         nu_post: int = 2,
-        omega: float = 0.67,
+        omega: float = 1.0,
         coarse_sweeps: int = 60,
         min_size: int = 9,
         coarse_dense: bool = True,

@@ -218,7 +218,13 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     # cost nothing once per restart cycle.
     R = H[:m, :m]
     diag = jnp.diag(R)
-    bad = jnp.abs(diag) < 1e-300
+    # breakdown guard must be RELATIVE: with a near-exact preconditioner
+    # (e.g. the dense coarse pseudo-inverse as minv) the Arnoldi basis
+    # degenerates after a few steps and the dead directions carry
+    # |R_jj| ~ eps·|R_00| — dividing by them amplifies rounding noise into
+    # O(1/eps) garbage y while the Givens estimate still reads 'converged'
+    eps = 1e-13 if dtype == jnp.float64 else 1e-5
+    bad = jnp.abs(diag) < eps * jnp.max(jnp.abs(diag))
     R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
     gm = jnp.where(bad, 0.0, g[:m])
 
@@ -232,7 +238,10 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros_like(gm))
     dx = minv(V[:m].T @ y)
     x = x0 + dx
-    return x, jnp.abs(g[steps]), steps
+    # report the TRUE residual (one extra matvec per cycle, ~1% of the
+    # cycle's matvecs): the Givens estimate drifts from reality on
+    # basis breakdown, and a false 'converged' is silent wrong-answer
+    return x, jnp.linalg.norm(b - matvec(x)), steps
 
 
 def gmres(
@@ -254,17 +263,24 @@ def gmres(
     max_cycles = max(max_it // max(restart, 1) + 1, 1)
 
     def cond(s):
-        x, rn, it, cyc = s
-        return (rn > tol) & (cyc < max_cycles)
+        x, rn, rn_prev, it, cyc = s
+        # stagnation exit (the PETSc DIVERGED_BREAKDOWN analog): on
+        # singular projected systems the attainable residual floors above
+        # tol, and restarting forever accumulates null-space junk in x
+        # until the arithmetic overflows — stop once a whole restart cycle
+        # improves the true residual by < 1%
+        improving = rn < 0.99 * rn_prev
+        return (rn > tol) & (cyc < max_cycles) & ((cyc == 0) | improving)
 
     def body(s):
-        x, rn, it, cyc = s
-        x, rn, steps = _gmres_cycle(matvec, minv, b, x, restart, tol)
-        return (x, rn, it + steps, cyc + 1)
+        x, rn, rn_prev, it, cyc = s
+        x, rn_new, steps = _gmres_cycle(matvec, minv, b, x, restart, tol)
+        return (x, rn_new, rn, it + steps, cyc + 1)
 
     r0n = jnp.linalg.norm(b - matvec(x0))
-    x, rn, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, r0n, jnp.asarray(0), jnp.asarray(0))
+    x, rn, _, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, r0n, jnp.asarray(jnp.inf, r0n.dtype),
+                     jnp.asarray(0), jnp.asarray(0))
     )
     return x, SolveInfo(iters, rn, rn <= tol)
 

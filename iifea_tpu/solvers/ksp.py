@@ -120,15 +120,47 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         )(A)
         mg = StencilMultigridBlock(S)
 
+        # Field-constant null-mode deflation. Enclosed-flow NS (TG class:
+        # velocity Dirichlet everywhere, no pressure BC) carries an exact
+        # constant-pressure null mode; the reference's plain GMRES+jacobi
+        # tolerates it silently, but a V-cycle's coarse (pseudo-)inverse
+        # amplifies near-null content into O(1/sigma) garbage. Detect each
+        # field's supported-constant vector with one matvec and project it
+        # out of the preconditioner's input and output.
+        nn = S.nn
+        dgf = jnp.stack(
+            [S.point_block_diag()[f, f] for f in range(n_fields)]
+        )                                                  # (nF, nn)
+        sig = float(jnp.abs(S.coeffs).sum(axis=(1, 2)).max())
+        qs = []
+        for f in range(n_fields):
+            v = jnp.zeros((n_fields, nn), b.dtype)
+            v = v.at[f].set((jnp.abs(dgf[f]) > 0).astype(b.dtype))
+            v = v.reshape(-1)
+            vn = float(jnp.linalg.norm(v))
+            if vn == 0.0:
+                continue
+            v = v / vn
+            if float(jnp.linalg.norm(S.mv(v))) < 1e-8 * sig:
+                qs.append(v)
+        Q = jnp.stack(qs) if qs else None
+
         @partial(jax.jit, static_argnames=("method", "max_it"))
-        def run(S, mgp, b, x0, rtol, atol, method, max_it):
-            kw = dict(minv=mgp.minv, rtol=rtol, atol=atol, max_it=max_it)
+        def run(S, mgp, Q, b, x0, rtol, atol, method, max_it):
+            if Q is None:
+                minv = mgp.minv
+            else:
+                def minv(r):
+                    r = r - Q.T @ (Q @ r)
+                    z = mgp.minv(r)
+                    return z - Q.T @ (Q @ z)
+            kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
             if method == "cg":
                 return krylov.cg(S.mv, b, x0, **kw)
             return krylov.gmres(S.mv, b, x0, restart=100, **kw)
 
         return run(
-            S, mg, b, x0, jnp.asarray(rtol, b.dtype),
+            S, mg, Q, b, x0, jnp.asarray(rtol, b.dtype),
             jnp.asarray(atol, b.dtype), method, int(max_it),
         )
 

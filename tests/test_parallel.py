@@ -151,3 +151,32 @@ def test_sharded_stencil_cg(setup):
     got = np.asarray(Ssh.unshard_vec(x2))[mask]
     ref = np.asarray(x_ref)[mask]
     assert np.allclose(got, ref, atol=1e-7 * max(np.abs(ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_bench_refine_matches_single():
+    """bench.py --devices N path: the sharded f32 MG-PCG + df refinement
+    reaches the same f64 residual as the single-device BinnedLatticeSolver
+    and agrees on well-supported dofs (VERDICT r1 item 10)."""
+    import bench
+    from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
+    from iifea_tpu.mesh.generators import immersed_square_problem
+
+    n_bg = 24
+    x_sh, info = bench.run_sharded(n_bg, 8, rtol=1e-10)
+    assert info["rel_residual_f64"] < 1e-10
+
+    mesh_f, M = immersed_square_problem(
+        n_fg=bench.fg_of(n_bg), n_bg=n_bg, degree=1, dtype=np.float64
+    )
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10,
+                          dtype=np.float64)
+    solver = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
+    x_1, info_1 = solver.solve(rtol=1e-10)
+    assert info_1["rel_residual"] < 1e-10
+    d = np.asarray(solver.probe(
+        solver.bind(*solver.assemble()[1:])).diag())
+    mask = d > 0.05 * d.max()
+    scale = max(float(jnp.abs(x_1).max()), 1.0)
+    assert np.allclose(np.asarray(x_sh)[mask], np.asarray(x_1)[mask],
+                       atol=1e-7 * scale)

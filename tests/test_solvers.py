@@ -233,3 +233,56 @@ def test_newton_with_mg_fast_path():
     )) > 0
     assert np.allclose(np.asarray(u_p)[d], np.asarray(u_p2)[d],
                        atol=1e-5 * scale)
+
+
+def test_tg_step_with_block_mg():
+    """One TG/NS Newton time step on a synthetic lattice background with
+    linear_pc='mg' (StencilMultigridBlock end-to-end through the nonlinear
+    driver — the VERDICT r1 item-4 demo-class solve)."""
+    from iifea_tpu.api import l2_project
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.navier_stokes import TaylorGreenProblem, u_exact
+    from iifea_tpu.solvers.newton import solve_nonlinear
+
+    n, n_bg = 16, 8
+    mesh_f, M = immersed_square_problem(n_fg=n, n_bg=n_bg, n_fields=3)
+    Dt = 4 / np.sqrt(mesh_f.n_cells)
+    prob = TaylorGreenProblem(
+        mesh_f, k=1, Re=100.0, Dt=Dt, sym=False, n_bg_dofs=M.n_bg_dofs
+    )
+
+    def ic_expr(x):
+        u = u_exact(x, prob.nu, 0.0)
+        return jnp.array([u[0], u[1], 0.0])
+
+    up_p, up_f = l2_project(ic_expr, prob.space, prob.cell_dom, M)
+    # pin one supported pressure dof: enclosed flow carries an exact
+    # constant-pressure null mode, and pinning removes it so BOTH
+    # preconditioners converge in one Newton iteration to the same state.
+    # Selection must be by OPERATOR diagonal — an M-referenced dof can
+    # still be dead (zero diagonal) if its fg dofs sit outside the
+    # integration domain, and pinning a dead dof is a silent no-op.
+    from iifea_tpu.ops.projection import BackgroundOperator
+
+    blocks0 = prob.form.jacobian_blocks(
+        up_f, {"up_old": up_f}, {"t": jnp.asarray(0.5 * Dt)}
+    )
+    d0 = np.asarray(BackgroundOperator(prob.form, blocks0, M).diag())
+    nn = M.n_bg_dofs // 3
+    pin = np.array([2 * nn + int(np.argmax(d0[2 * nn:]))])
+    up_p, up_f = solve_nonlinear(
+        prob.form, up_f, M, up_p,
+        aux={"up_old": up_f},
+        params={"t": jnp.asarray(0.5 * Dt)},
+        max_iters=10,
+        linear_method="gmres", linear_pc="mg",
+        lattice_shape=(n_bg + 1, n_bg + 1), n_fields=3,
+        zero_ids=pin,
+        monitor_newton=False,
+        relative_tolerance=5e-4,
+        absolute_tolerance=1e-4, absolute_tolerance_res=1e-5,
+    )
+    assert np.isfinite(float(jnp.linalg.norm(up_p)))
+    norms = prob.error_norms(up_f, Dt)
+    # measured 0.00398 (identical to the jacobi route to 8 digits)
+    assert norms["L2u"] < 0.02, norms
