@@ -72,7 +72,11 @@ def box_mesh(p0, p1, nx: int, ny: int, nz: int) -> Mesh:
     cells = np.concatenate(
         [np.stack([c[v] for v in p], axis=1) for p in paths], axis=0
     )
-    return Mesh(coords, cells)
+    mesh = Mesh(coords, cells)
+    mesh.structured = (
+        "box", np.asarray(p0, float), np.asarray(p1, float), nx, ny, nz
+    )
+    return mesh
 
 
 def _rotate(coords: np.ndarray, angle_deg: float, axis: int = 2) -> np.ndarray:
@@ -146,7 +150,11 @@ def transfer_matrix_simplex(
     npts, dim = points.shape
 
     if getattr(mesh_b, "structured", None) is not None:
-        cell_idx, ref = locate_structured_rect(mesh_b, points, tol)
+        locate = (
+            locate_structured_rect if mesh_b.structured[0] == "rect"
+            else locate_structured_box
+        )
+        cell_idx, ref = locate(mesh_b, points, tol)
         inside = cell_idx >= 0
         safe_cells = np.maximum(cell_idx, 0)
     else:
@@ -198,6 +206,43 @@ def locate_structured_rect(
     ref_lower = np.stack([s - t, t], axis=1)   # verts (0,0),(1,0),(1,1)
     ref_upper = np.stack([s, t - s], axis=1)   # verts (0,0),(1,1),(0,1)
     ref = np.where(lower[:, None], ref_lower, ref_upper)
+    return np.where(inside, cell, -1), ref
+
+
+def locate_structured_box(
+    mesh: Mesh, points: np.ndarray, tol: float = 1e-10
+) -> tuple[np.ndarray, np.ndarray]:
+    """O(1) vectorized point location in a box_mesh (Kuhn triangulation).
+
+    The 6 tets of each hex are the regions x_α >= x_β >= x_γ of the local
+    cube coordinates, one per axis permutation; the containing tet is read
+    off an argsort and the reference coordinates are the consecutive
+    differences of the sorted coordinates (the general-mesh bucket search
+    in locate_cells is a Python loop — ~30 s per million points — where
+    this is a handful of vectorized passes)."""
+    _, p0, p1, nx, ny, nz = mesh.structured
+    points = np.asarray(points, dtype=np.float64)
+    rel = (points - p0) / (p1 - p0)
+    inside = (rel.min(1) >= -tol) & (rel.max(1) <= 1 + tol)
+    n = np.array([nx, ny, nz])
+    g = np.clip(rel * n, 0, n * (1 - 1e-15))
+    ijk = np.minimum(g.astype(np.int64), n - 1)
+    s = g - ijk                                      # local cube coords
+    order = np.argsort(-s, axis=1, kind="stable")    # (np, 3): α, β, γ
+    # path index per axis-addition order (matches box_mesh's `paths` list)
+    path_of = np.full(27, -1, dtype=np.int64)
+    for p, (a, b_, c) in enumerate(
+        [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+    ):
+        path_of[a * 9 + b_ * 3 + c] = p
+    path = path_of[order[:, 0] * 9 + order[:, 1] * 3 + order[:, 2]]
+    quad = (ijk[:, 0] * ny + ijk[:, 1]) * nz + ijk[:, 2]
+    cell = path * (nx * ny * nz) + quad
+    rows = np.arange(points.shape[0])
+    d1 = s[rows, order[:, 0]]
+    d2 = s[rows, order[:, 1]]
+    d3 = s[rows, order[:, 2]]
+    ref = np.stack([d1 - d2, d2 - d3, d3], axis=1)
     return np.where(inside, cell, -1), ref
 
 
