@@ -467,6 +467,8 @@ class Form:
         aux = aux or {}
         r = jnp.zeros(self.n_dofs, dtype=u.dtype)
         for dom, kern in self.terms:
+            if dom.n_elem == 0:  # empty facet class (e.g. coarse meshes)
+                continue
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
             ctx = dom.ctx()
@@ -489,6 +491,10 @@ class Form:
         aux = aux or {}
         blocks = []
         for dom, kern in self.terms:
+            if dom.n_elem == 0:
+                ne = dom.eldofsT.shape[0]
+                blocks.append(jnp.zeros((ne, ne, 0), dtype=u.dtype))
+                continue
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
 
@@ -529,6 +535,10 @@ class Form:
         blocks = []
         r = jnp.zeros(self.n_dofs, dtype=u.dtype)
         for dom, kern in self.terms:
+            if dom.n_elem == 0:
+                ne = dom.eldofsT.shape[0]
+                blocks.append(jnp.zeros((ne, ne, 0), dtype=u.dtype))
+                continue
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
 
@@ -573,6 +583,8 @@ class Form:
         """Apply the (foreground) linearized operator: y = A_f x."""
         y = jnp.zeros(self.n_dofs, dtype=x.dtype)
         for (dom, _), K in zip(self.terms, blocks):
+            if dom.n_elem == 0:
+                continue
             xe = x[dom.eldofsT]                           # (ne, nE)
             ne = xe.shape[0]
             ye = sum(K[:, b, :] * xe[b][None, :] for b in range(ne))
@@ -584,6 +596,8 @@ class Form:
         k = X.shape[0]
         Y = jnp.zeros((k, self.n_dofs), dtype=X.dtype)
         for (dom, _), K in zip(self.terms, blocks):
+            if dom.n_elem == 0:
+                continue
             xe = X[:, dom.eldofsT]                        # (k, ne, nE)
             ne = xe.shape[1]
             ye = sum(
@@ -596,6 +610,8 @@ class Form:
         """Apply the transposed operator: y = A_fᵀ x (condition estimation)."""
         y = jnp.zeros(self.n_dofs, dtype=x.dtype)
         for (dom, _), K in zip(self.terms, blocks):
+            if dom.n_elem == 0:
+                continue
             xe = x[dom.eldofsT]
             ne = xe.shape[0]
             ye = sum(K[a, :, :] * xe[a][None, :] for a in range(ne))

@@ -95,6 +95,8 @@ class BackgroundOperator:
         """
         d = jnp.zeros(self.n, dtype=self.blocks[0].dtype)
         for (dom, _), K in zip(self.form.terms, self.blocks):
+            if dom.n_elem == 0:
+                continue
             midx, mval = self.M.row_blocks(dom.eldofsT)   # (km, ne, nE)
             nE = K.shape[-1]
             csize = max(min(chunk, nE), 1)
@@ -140,6 +142,8 @@ class BackgroundOperator:
         n_fg = self.form.n_dofs
         mats = []
         for (dom, _), K in zip(self.form.terms, self.blocks):
+            if dom.n_elem == 0:
+                continue
             fl = getattr(dom, "flat_eldofs_np", None)
             if fl is None:
                 fl = np.asarray(dom.eldofsT).T

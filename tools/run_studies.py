@@ -74,20 +74,27 @@ def poisson(refs_2d=(0, 1, 2, 3, 4, 5), refs_2d_k2=(0, 1, 2, 3),
             pats, extra={"k": 1, "dim": 3, "ref": r})
 
 
-def elasticity(refs=(0, 1, 2, 3), k2=True):
+def elasticity(refs=(0, 1, 2, 3), refs_k2=(1, 2, 3, 4), lref=1):
     pats = {"stress_err": f"Extraction error norm: {FLOAT}",
             "t_solve": f"Time for solve_linear: {FLOAT}"}
     for r in refs:
         run("elasticity",
             ["demos/linear_elasticity.py", "--k", "1", "--ref", str(r)],
             pats, extra={"k": 1, "ref": r})
-    if k2:
+    for r in refs_k2:
+        # quadratic path (linear_elasticity.py:226-228, NFields=2) — VERDICT
+        # r1 item 7. lref=1 (local refinement near the hole) is required for
+        # the h^2 stress rate: at lref=0 the error saturates ~1.5e-2 on the
+        # unrefined hole geometry (verified solver-independent).
         run("elasticity",
-            ["demos/linear_elasticity.py", "--k", "2", "--ref", "0"],
-            pats, extra={"k": 2, "ref": 0})
+            ["demos/linear_elasticity.py", "--k", "2", "--ref", str(r),
+             "--lref", str(lref)],
+            pats, extra={"k": 2, "ref": r, "lref": lref})
 
 
-def biharmonic(refs_2d=(1, 2, 3), refs_3d=(1,)):
+def biharmonic(refs_2d=(1, 2, 3), refs_3d=(0,)):
+    # 3D capped at R0: cube/Quadratic/R1+ ExOp_Cons.csv are stripped blobs
+    # in this checkout (/root/reference/.MISSING_LARGE_BLOBS)
     pats = {"L2": f"relative L2 norm: {FLOAT}",
             "H1": f"relative H1 norm: {FLOAT}",
             "H2": f"relative H2 norm: {FLOAT}"}
