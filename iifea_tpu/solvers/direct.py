@@ -3,40 +3,79 @@
 There is no sparse LU on TPU (SURVEY.md §2.3 N5); the reference's MUMPS path
 (common.py:525-551) is covered by SuperLU (scipy.sparse.linalg.splu) on the
 host CPU, including the null-pivot handling the reference enables via
-``mat_mumps_icntl_24=1`` / ``cntl_3=1e-12``: structurally empty rows (background
-basis functions without foreground support, common.py:261-332) are converted to
-identity rows before factorization.
+``mat_mumps_icntl_24=1`` / ``cntl_3=1e-12``:
+
+- structurally empty rows (background basis functions without foreground
+  support, common.py:261-332) are converted to identity rows up front;
+- near-null pivots are handled *adaptively*: if the factorization of the
+  trimmed system is not backward-stable (relative residual above
+  ``relres_ok``), rows whose diagonal is below an escalating relative
+  threshold are symmetrically trimmed (row+column zeroed, unit diagonal,
+  zero rhs — the trimNodes/BFR semantics of common.py:261-332) and the
+  factorization is retried. This mirrors MUMPS, which fixes null pivots as
+  they appear during elimination rather than by a static pre-pass; SuperLU
+  has no such hook, so the escalation ladder stands in for it. On
+  well-conditioned systems the first factorization passes the residual
+  check and no extra trimming happens.
 """
 from __future__ import annotations
 
 import numpy as np
 
+# escalation ladder of relative-diagonal trim thresholds (|d| <= tol*max|d|);
+# chosen around MUMPS cntl_3=1e-12-with-dynamic-fixation behavior. 3D immersed
+# Poisson (cube R3) needs 1e-10 to factor stably; 2D problems stop at `None`.
+_TRIM_LADDER = (None, 1e-12, 1e-10, 1e-8, 1e-6)
 
-def solve_direct(A_csr, b: np.ndarray, null_pivot_tol: float = 1e-12):
-    """Solve A x = b with sparse LU; returns numpy array."""
+
+def _trim_sym(A, b, keep_mask):
+    """Zero rows+columns of ~keep_mask, unit diagonal, zero rhs (BFR)."""
     import scipy.sparse as sp
+
+    Dm = sp.diags(keep_mask.astype(np.float64))
+    At = (Dm @ A @ Dm + sp.diags(1.0 - keep_mask)).tocsc()
+    return At, b * keep_mask
+
+
+def solve_direct(
+    A_csr,
+    b: np.ndarray,
+    null_pivot_tol: float = 1e-12,
+    relres_ok: float = 1e-8,
+):
+    """Solve A x = b with sparse LU; returns numpy array."""
     import scipy.sparse.linalg as spla
 
-    A = A_csr.tocsr().copy()
-    b = np.asarray(b, dtype=np.float64).copy()
+    A = A_csr.tocsr()
+    b = np.asarray(b, dtype=np.float64)
+    n = A.shape[0]
 
-    # null-pivot protection: rows whose max |entry| is below tolerance become
-    # identity rows with zero rhs (MUMPS icntl_24 analog).
-    row_max = np.zeros(A.shape[0])
+    # structurally dead rows: max |entry| below the absolute tolerance
+    row_max = np.zeros(n)
     if A.nnz:
-        row_of = np.repeat(
-            np.arange(A.shape[0]), np.diff(A.indptr)
-        )
+        row_of = np.repeat(np.arange(n), np.diff(A.indptr))
         np.maximum.at(row_max, row_of, np.abs(A.data))
-    dead = row_max <= null_pivot_tol
-    if dead.any():
-        ids = np.where(dead)[0]
-        lil = A.tolil()
-        for r in ids:
-            lil.rows[r] = [int(r)]
-            lil.data[r] = [1.0]
-        A = lil.tocsr()
-        b[ids] = 0.0
+    alive = (row_max > null_pivot_tol).astype(np.float64)
 
-    lu = spla.splu(A.tocsc())
-    return lu.solve(b)
+    d = np.abs(A.diagonal())
+    dmax = d.max() if n else 1.0
+    bnorm = max(np.linalg.norm(b), 1e-300)
+
+    best = None
+    for tol in _TRIM_LADDER:
+        keep = alive if tol is None else alive * (d > tol * dmax)
+        At, bt = _trim_sym(A, b, keep)
+        try:
+            x = spla.splu(At).solve(bt)
+        except RuntimeError:  # singular factor: escalate the trim
+            continue
+        relres = np.linalg.norm(At @ x - bt) / bnorm
+        if not np.isfinite(relres):
+            continue
+        if best is None or relres < best[0]:
+            best = (relres, x)
+        if relres <= relres_ok:
+            return x
+    if best is None:
+        raise RuntimeError("solve_direct: all trimmed factorizations failed")
+    return best[1]

@@ -73,6 +73,34 @@ def test_direct_null_pivot_handling():
     assert x[2] == 0.0
 
 
+def test_direct_near_null_pivot_escalation():
+    """Rows with a tiny-but-nonzero diagonal (weakly supported background
+    dofs, the 3D cube R3 failure mode) must be trimmed adaptively: the
+    first factorization is catastrophically unstable, the escalation ladder
+    retries with relative-diagonal BFR trims until backward-stable."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 60
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = Q @ np.diag(np.linspace(1.0, 4.0, n)) @ Q.T
+    # a near-null cluster: scale 4 rows+cols down to ~1e-12 of the rest
+    weak = np.arange(4)
+    s = np.ones(n)
+    s[weak] = 1e-12
+    A = (A * s[:, None]) * s[None, :]
+    b = A @ np.ones(n)
+    # corrupt the weak block at the f64 noise floor of the large entries,
+    # emulating assembly round-off that dominates the tiny true values
+    A[np.ix_(weak, weak)] += 1e-17 * rng.standard_normal((4, 4))
+    x = solve_direct(sp.csr_matrix(A), b)
+    assert np.all(np.isfinite(x))
+    # the strongly supported block is solved accurately
+    assert np.allclose(x[4:], 1.0, atol=1e-6)
+    # no runaway near-null components
+    assert np.abs(x).max() < 1e3
+
+
 def test_nonzero_initial_guess():
     A, rng = make_spd(20, seed=9)
     b = jnp.asarray(rng.standard_normal(20))
