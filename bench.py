@@ -368,6 +368,12 @@ def main():
     args = p.parse_args()
 
     if args.devices > 1:
+        # honor IIFEA_PLATFORM *before* the first backend touch: with the
+        # axon plugin registered, jax.devices() opens the TPU tunnel even
+        # when the user asked for the virtual CPU mesh
+        from iifea_tpu import config as _config
+
+        _config.setup()
         import jax
 
         if len(jax.devices()) < args.devices:

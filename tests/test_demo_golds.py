@@ -1,0 +1,89 @@
+"""Full-run demo gold values (slow tier).
+
+Each test runs a demo CLI end-to-end as a subprocess — the reference's own
+validation style (SURVEY.md §4: printed norms / gold-value point probes,
+cut_shell.py:409-414, pinned_shell.py:281-282, tg_vortex.py:369-374) — and
+pins the values recorded in RESULTS.md. Unlike the one-step solves in
+test_models.py, these exercise the complete time/load-stepping drivers.
+
+Run with: pytest tests/test_demo_golds.py --runslow
+"""
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/meshes"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mesh artifacts not present"
+)
+FLOAT = r"([-+0-9.eE]+)"
+
+
+def run_demo(args, timeout=1800):
+    env = dict(os.environ, IIFEA_PLATFORM="cpu")
+    p = subprocess.run(
+        [sys.executable] + args, capture_output=True, text=True,
+        timeout=timeout, cwd=HERE, env=env,
+    )
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    return p.stdout + p.stderr
+
+
+def grab(out, pat):
+    m = re.search(pat, out)
+    assert m, f"pattern {pat!r} not found in demo output"
+    return float(m.group(1))
+
+
+@pytest.mark.slow
+@needs_ref
+def test_poisson_3d_ref3_gold():
+    """cube R3 through the adaptive-trim direct solve (the MUMPS role):
+    regression for the near-null-pivot blowup (L2 was 369 before)."""
+    out = run_demo(["demos/poisson.py", "--k", "1", "--dim", "3",
+                    "--ref", "3"])
+    assert abs(grab(out, f"L2 norm: {FLOAT}") - 0.03086) < 0.004
+    assert abs(grab(out, f"H10 norm: {FLOAT}") - 0.2206) < 0.02
+
+
+@pytest.mark.slow
+@needs_ref
+def test_taylor_green_full_run_gold():
+    """T=1, Re=100 at ref 2 (the reference's report: tg_vortex.py:369-374)."""
+    out = run_demo(["demos/tg_vortex.py", "--k", "1", "--ref", "2",
+                    "--Re", "100", "--T", "1.0"])
+    assert abs(grab(out, f"L2 velocity error: {FLOAT}") - 0.002134) < 3e-4
+    assert abs(grab(out, f"H1 velocity error: {FLOAT}") - 0.04787) < 5e-3
+
+
+@pytest.mark.slow
+@needs_ref
+def test_cut_shell_100_steps_gold():
+    """100 follower-load steps -> tab-tip displacement
+    (cut_shell.py:409-414)."""
+    out = run_demo(["demos/cut_shell.py"], timeout=3600)
+    pat = (f"Displacement at tip of tab: \\( {FLOAT} , {FLOAT} , "
+           f"{FLOAT} \\)")
+    m = re.search(pat, out)
+    assert m, "tip displacement not printed"
+    x, y, z = (float(m.group(i)) for i in (1, 2, 3))
+    assert abs(x) < 0.01
+    assert abs(y - 0.6831) < 0.02
+    assert abs(z - 0.6013) < 0.02
+
+
+@pytest.mark.slow
+@needs_ref
+def test_pinned_shell_gold():
+    """Center displacement (pinned_shell.py:281-282)."""
+    out = run_demo(["demos/pinned_shell.py"])
+    pat = (f"Center displacement: \\( {FLOAT} , {FLOAT} , {FLOAT} \\)")
+    m = re.search(pat, out)
+    assert m
+    x, y, z = (float(m.group(i)) for i in (1, 2, 3))
+    assert abs(x) < 1e-10 and abs(y) < 1e-10
+    assert abs(z - 0.0077391) < 5e-4

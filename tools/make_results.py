@@ -124,6 +124,13 @@ def main():
         ["L2", "H1", "H2"], "L2 ~ h^2, H2 ~ h (k=2 penalty method)",
         group=["dim"]
     )
+    if any(r.get("dim") == 3 for r in bih):
+        out.append(
+            "_3D is capped at R0 (900-vertex mesh — too coarse for a "
+            "4th-order operator, so the R0 errors are O(1)): the cube "
+            "Quadratic R1+ `ExOp_Cons.csv` files are stripped from this "
+            "checkout (`/root/reference/.MISSING_LARGE_BLOBS`)._\n"
+        )
     tg = load("tg_vortex")
     if tg:
         out.append("### Taylor–Green vortex, T=1, Re=100 "
@@ -153,6 +160,27 @@ def main():
                     for r in rows]
             out.append(table(hdr, body))
             out.append("")
+
+    unf = load("unfitted")
+    if unf:
+        out.append("### Background-unfitted family "
+                   "(demos/background_unfitted/, D7-D10: runtime transfer "
+                   "matrix / native B-spline background)\n")
+        hdr = ["demo", "ref/n", "L2", "H1", "L2u", "H1u", "disp_z/tip_z",
+               "wall (s)", "rc"]
+        body = []
+        for r in sorted(unf, key=lambda r: (r.get("demo", ""),
+                                            r.get("ref", 0))):
+            body.append([
+                r.get("demo", "?"),
+                fmt(r.get("ref", r.get("n"))),
+                fmt(r.get("L2")), fmt(r.get("H1")),
+                fmt(r.get("L2u")), fmt(r.get("H1u")),
+                fmt(r.get("disp_z", r.get("tip_z")), 6),
+                fmt(r.get("wall_s")), str(r.get("rc")),
+            ])
+        out.append(table(hdr, body))
+        out.append("")
 
     bench = load("bench")
     if bench:

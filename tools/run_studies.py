@@ -135,6 +135,34 @@ def pinned_shell():
     run("pinned_shell", ["demos/pinned_shell.py"], pats, timeout=2 * 3600)
 
 
+def unfitted():
+    """The background_unfitted family (D7-D10): runtime transfer matrix /
+    B-spline background instead of CSV extraction artifacts."""
+    pats = {"L2": f"L2 norm: {FLOAT}", "H1": f"H1 norm: {FLOAT}"}
+    for n in (16, 32, 64):
+        run("unfitted",
+            ["demos/background_unfitted/poisson_unfitted.py", "--n", str(n)],
+            pats, extra={"demo": "poisson_unfitted", "n": n,
+                         "ref": {16: 0, 32: 1, 64: 2}[n]})
+    pats_tg = {"L2u": f"L2 velocity error: {FLOAT}",
+               "H1u": f"H1 velocity error: {FLOAT}",
+               "L2p": f"L2 pressure error: {FLOAT}",
+               "H1p": f"H1 pressure error: {FLOAT}"}
+    for r in (1, 2):
+        run("unfitted",
+            ["demos/background_unfitted/tg_unfitted.py", "--ref", str(r),
+             "--Re", "100", "--T", "1.0"],
+            pats_tg, extra={"demo": "tg_unfitted", "ref": r})
+    run("unfitted", ["demos/background_unfitted/pinned_shell_unfitted.py"],
+        {"disp_z":
+         f"Center displacement: \\( [-+0-9.eE]+ , [-+0-9.eE]+ , {FLOAT} \\)"},
+        extra={"demo": "pinned_shell_unfitted"})
+    run("unfitted", ["demos/background_unfitted/cut_shell_unfitted.py"],
+        {"tip_z": f"Displacement at tip of tab: "
+                  f"\\( [-+0-9.eE]+ , [-+0-9.eE]+ , {FLOAT} \\)"},
+        timeout=2 * 3600, extra={"demo": "cut_shell_unfitted"})
+
+
 STUDIES = {
     "poisson": poisson,
     "elasticity": elasticity,
@@ -142,6 +170,7 @@ STUDIES = {
     "tg_vortex": tg_vortex,
     "cut_shell": cut_shell,
     "pinned_shell": pinned_shell,
+    "unfitted": unfitted,
 }
 
 if __name__ == "__main__":
