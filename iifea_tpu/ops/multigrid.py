@@ -108,14 +108,13 @@ def _prolong3(xc3: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
+def _coarsen_probe(fine: "StencilOperator2D") -> "StencilOperator2D":
     """Galerkin coarse operator R A P, re-probed into stencil form.
 
-    The (2r+1)² probe columns go through a vmapped prolong->A->restrict
-    batch (the stencil apply and transfer convolutions batch cleanly on the
-    VPU); above 2M dofs the columns are chunked through lax.map so the
-    25-wide padded intermediates stay within HBM (a fully vmapped batch
-    OOMs at the 2049² first coarsening of the 4.2M-dof bench)."""
+    Kept as the test oracle for :func:`_coarsen` (the direct composition):
+    the (2r+1)² probe columns go through a vmapped prolong->A->restrict
+    batch; above 2M dofs the columns are chunked through lax.map so the
+    25-wide padded intermediates stay within HBM."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
 
     def rap_one(xc):
@@ -132,6 +131,109 @@ def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
     return StencilOperator2D.probe_multi(
         rap_multi, cshape, radius=fine.radius, dtype=fine.dtype
     )
+
+
+# -- direct Galerkin composition (no probing) ---------------------------------
+#
+# For stencil A (y[p] = Σ_d C[d,p] x[p+d]), full-weighting R (weights
+# w[u]/2^dim on u ∈ {-1,0,1}^dim) and bilinear P = 2^dim Rᵀ, the coarse
+# stencil is itself a closed-form contraction: with f = 2I+u and g = f+d,
+#
+#   (R A P)[I, I+T] = (1/2^dim) Σ_{u,d} w[u] w[u+d-2T] C[d, 2I+u]
+#
+# where v = u+d-2T must lie in {-1,0,1}^dim (P's support). For fixed (T,d)
+# that inner sum over u is a 3^dim kernel applied to the coefficient plane
+# C[d] at stride 2 — i.e. the whole RAP is ONE strided convolution with
+# (2r+1)^dim input channels (fine planes, index d), (2r+1)^dim output
+# channels (coarse planes, index T), and a 3^dim window. One pass over the
+# fine coefficient planes replaces (2r+1)^dim full prolong->A->restrict
+# probe applications (the dominant mg_build cost, PERF.md §6).
+
+
+def _rap_k1(radius: int) -> np.ndarray:
+    """Per-dimension factor k1[t+r, d+r, u+1] = w[u] · w[u+d-2t]."""
+    r = radius
+    m = 2 * r + 1
+    k1 = np.zeros((m, m, 3))
+    for t in range(-r, r + 1):
+        for dk in range(-r, r + 1):
+            for u in (-1, 0, 1):
+                v = u + dk - 2 * t
+                if -1 <= v <= 1:
+                    k1[t + r, dk + r, u + 1] = _W1[u + 1] * _W1[v + 1]
+    return k1
+
+
+def _rap_kernel2(radius: int) -> np.ndarray:
+    """(m², m², 3, 3) OIHW conv kernel for the 2D direct RAP."""
+    k1 = _rap_k1(radius)
+    m = 2 * radius + 1
+    K = 0.25 * np.einsum("adu,bev->abdeuv", k1, k1)
+    return np.ascontiguousarray(K.reshape(m * m, m * m, 3, 3))
+
+
+def _rap_kernel3(radius: int) -> np.ndarray:
+    """(m³, m³, 3, 3, 3) OIDHW conv kernel for the 3D direct RAP."""
+    k1 = _rap_k1(radius)
+    m = 2 * radius + 1
+    K = 0.125 * np.einsum("adu,bev,cfw->abcdefuvw", k1, k1, k1)
+    return np.ascontiguousarray(K.reshape(m ** 3, m ** 3, 3, 3, 3))
+
+
+def _offgrid_mask2(shape, radius) -> np.ndarray:
+    """mask[d, i, j] = 1 where the offset-d neighbor of (i, j) is in-grid.
+
+    Probed stencils already carry exact zeros at off-grid columns (their
+    indicator combs have no source there), but operators built by other
+    constructors may hold garbage the zero-padded matvec never reads; the
+    direct RAP *does* read those slots, so they are masked."""
+    nx1, ny1 = shape
+    r = radius
+    m = 2 * r + 1
+    ii = np.arange(nx1)[:, None]
+    jj = np.arange(ny1)[None, :]
+    mask = np.empty((m * m, nx1, ny1), dtype=np.float32)
+    for oi in range(-r, r + 1):
+        for oj in range(-r, r + 1):
+            k = (oi + r) * m + (oj + r)
+            mask[k] = (
+                (ii + oi >= 0) & (ii + oi < nx1)
+                & (jj + oj >= 0) & (jj + oj < ny1)
+            )
+    return mask
+
+
+def _offgrid_mask3(shape, radius) -> np.ndarray:
+    nx1, ny1, nz1 = shape
+    r = radius
+    m = 2 * r + 1
+    ii = np.arange(nx1)[:, None, None]
+    jj = np.arange(ny1)[None, :, None]
+    kk = np.arange(nz1)[None, None, :]
+    mask = np.empty((m ** 3, nx1, ny1, nz1), dtype=np.float32)
+    for oi in range(-r, r + 1):
+        for oj in range(-r, r + 1):
+            for ok in range(-r, r + 1):
+                k = ((oi + r) * m + (oj + r)) * m + (ok + r)
+                mask[k] = (
+                    (ii + oi >= 0) & (ii + oi < nx1)
+                    & (jj + oj >= 0) & (jj + oj < ny1)
+                    & (kk + ok >= 0) & (kk + ok < nz1)
+                )
+    return mask
+
+
+def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
+    """Direct Galerkin coarse operator: one strided conv over the
+    coefficient planes (see the derivation above)."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+    C = fine.coeffs * jnp.asarray(_offgrid_mask2(fine.shape, fine.radius),
+                                  fine.dtype)
+    K = jnp.asarray(_rap_kernel2(fine.radius), fine.dtype)
+    y = jax.lax.conv_general_dilated(
+        C[None], K, window_strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+    return StencilOperator2D(y[0], cshape, fine.radius)
 
 
 @jax.jit
@@ -303,8 +405,8 @@ class StencilMultigrid:
 
 
 @jax.jit
-def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
-    """3D Galerkin coarse operator R A P, re-probed into stencil form."""
+def _coarsen3_probe(fine: "StencilOperator3D") -> "StencilOperator3D":
+    """3D Galerkin coarse operator by re-probing (oracle for _coarsen3)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
 
     def rap_one(xc):
@@ -315,6 +417,19 @@ def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
     return StencilOperator3D.probe_multi(
         jax.vmap(rap_one), cshape, radius=fine.radius, dtype=fine.dtype
     )
+
+
+def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
+    """3D direct Galerkin coarse operator (one strided conv, see _coarsen)."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+    C = fine.coeffs * jnp.asarray(_offgrid_mask3(fine.shape, fine.radius),
+                                  fine.dtype)
+    K = jnp.asarray(_rap_kernel3(fine.radius), fine.dtype)
+    y = jax.lax.conv_general_dilated(
+        C[None], K, window_strides=(2, 2, 2),
+        padding=((1, 1), (1, 1), (1, 1)),
+    )
+    return StencilOperator3D(y[0], cshape, fine.radius)
 
 
 @jax.jit
@@ -426,9 +541,11 @@ class StencilMultigrid3D:
 
 
 @jax.jit
-def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
-    """Block Galerkin coarse operator R A P (per-field transfers), re-probed
-    into block stencil form."""
+def _coarsen_block_probe(
+    fine: "StencilOperatorBlock2D",
+) -> "StencilOperatorBlock2D":
+    """Block Galerkin coarse operator by re-probing (oracle for
+    _coarsen_block)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
     nF = fine.n_fields
 
@@ -442,6 +559,27 @@ def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
     return StencilOperatorBlock2D.probe_multi(
         jax.vmap(rap_one), cshape, n_fields=nF, radius=fine.radius,
         dtype=fine.dtype,
+    )
+
+
+def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
+    """Direct block Galerkin coarse operator: the per-field transfers act
+    identically on every (f1, f2) coefficient block, so the scalar RAP conv
+    (see _coarsen) batches over the nF² blocks."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+    nF = fine.n_fields
+    m2 = (2 * fine.radius + 1) ** 2
+    nx1, ny1 = fine.shape
+    C = fine.coeffs * jnp.asarray(
+        _offgrid_mask2(fine.shape, fine.radius), fine.dtype
+    )
+    K = jnp.asarray(_rap_kernel2(fine.radius), fine.dtype)
+    y = jax.lax.conv_general_dilated(
+        C.reshape(nF * nF, m2, nx1, ny1), K,
+        window_strides=(2, 2), padding=((1, 1), (1, 1)),
+    )
+    return StencilOperatorBlock2D(
+        y.reshape(nF, nF, m2, cshape[0], cshape[1]), cshape, fine.radius
     )
 
 

@@ -108,3 +108,56 @@ def test_mg3d_vcycle_is_linear():
     lhs = np.asarray(mg.minv(2.0 * u + 3.0 * v))
     rhs = 2.0 * np.asarray(mg.minv(u)) + 3.0 * np.asarray(mg.minv(v))
     assert np.allclose(lhs, rhs, atol=1e-9 * max(np.abs(rhs).max(), 1))
+
+
+# -- direct (conv) Galerkin coarsening vs the probe oracle ---------------------
+
+
+def test_coarsen_direct_matches_probe_2d():
+    """_coarsen (one strided conv over coefficient planes) must reproduce
+    the probed R A P exactly, on a real immersed operator AND on a random
+    stencil (incl. garbage in off-grid-column slots, which the matvec never
+    reads but the direct contraction must mask)."""
+    from iifea_tpu.ops.multigrid import _coarsen, _coarsen_probe
+
+    S, _ = _stencil(16)
+    Sc_d, Sc_p = _coarsen(S), _coarsen_probe(S)
+    err = np.abs(np.asarray(Sc_d.coeffs - Sc_p.coeffs)).max()
+    assert err < 1e-12 * float(jnp.abs(S.coeffs).max())
+
+    rng = np.random.default_rng(7)
+    C = jnp.asarray(rng.standard_normal((25, 17, 13)))
+    Sr = StencilOperator2D(C, (17, 13), 2)
+    Sc_d, Sc_p = _coarsen(Sr), _coarsen_probe(Sr)
+    assert np.allclose(
+        np.asarray(Sc_d.coeffs), np.asarray(Sc_p.coeffs), atol=1e-12
+    )
+
+
+def test_coarsen_direct_matches_probe_3d():
+    from iifea_tpu.ops.multigrid import _coarsen3, _coarsen3_probe
+    from iifea_tpu.ops.stencil import StencilOperator3D
+
+    rng = np.random.default_rng(8)
+    C = jnp.asarray(rng.standard_normal((125, 9, 11, 9)))
+    S = StencilOperator3D(C, (9, 11, 9), 2)
+    Sc_d, Sc_p = _coarsen3(S), _coarsen3_probe(S)
+    assert np.allclose(
+        np.asarray(Sc_d.coeffs), np.asarray(Sc_p.coeffs), atol=1e-12
+    )
+
+
+def test_coarsen_direct_matches_probe_block():
+    from iifea_tpu.ops.multigrid import (
+        _coarsen_block,
+        _coarsen_block_probe,
+    )
+    from iifea_tpu.ops.stencil import StencilOperatorBlock2D
+
+    rng = np.random.default_rng(9)
+    C = jnp.asarray(rng.standard_normal((3, 3, 25, 13, 9)))
+    S = StencilOperatorBlock2D(C, (13, 9), 2)
+    Sc_d, Sc_p = _coarsen_block(S), _coarsen_block_probe(S)
+    assert np.allclose(
+        np.asarray(Sc_d.coeffs), np.asarray(Sc_p.coeffs), atol=1e-12
+    )
