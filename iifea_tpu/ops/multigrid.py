@@ -223,6 +223,7 @@ def _offgrid_mask3(shape, radius) -> np.ndarray:
     return mask
 
 
+@jax.jit
 def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
     """Direct Galerkin coarse operator: one strided conv over the
     coefficient planes (see the derivation above)."""
@@ -340,12 +341,12 @@ class StencilMultigrid:
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_sweeps = coarse_sweeps
-        # Big levels (>600 per side) get their own jitted coarsen graph — a
-        # fully monolithic hierarchy build overflows the remote TPU compile
-        # helper at bench scale. Everything below is ONE jitted tail graph:
-        # each separate dispatch costs ~25-30 ms of tunnel latency, which
-        # dominated mg_build (6 coarsens + 6 invds + NS inverse ≈ 0.3 s of
-        # pure latency before this batching).
+        # The whole hierarchy builds in ONE jitted graph: each separate
+        # dispatch costs ~25-30 ms of tunnel latency, which dominated
+        # mg_build before batching. (The former head/tail split existed
+        # because the probe-based coarsening's vmapped 25-RHS intermediates
+        # overflowed the remote compiler/HBM at bench scale; the direct
+        # conv coarsening has no such blowup.)
         shapes = [tuple(S.shape)]
         while all((s - 1) % 2 == 0 and s > min_size for s in shapes[-1]):
             shapes.append(tuple((s - 1) // 2 + 1 for s in shapes[-1]))
@@ -355,19 +356,11 @@ class StencilMultigrid:
         )
 
         self.levels = [S]
-        while max(self.levels[-1].shape) > 600 and len(self.levels) < n_levels:
-            self.levels.append(_coarsen(self.levels[-1]))
-
-        n_tail = n_levels - len(self.levels)
         tail_levels, invds, cinv = _build_tail(
-            self.levels[-1], n_tail, dense_ok
+            S, n_levels - 1, dense_ok
         )
         self.levels.extend(tail_levels)
-        # _build_tail's invds cover S_top + the tail; the (at most two)
-        # head levels above S_top get one _invd dispatch each
-        self.inv_diags = [
-            _invd(S_l) for S_l in self.levels[: len(self.levels) - n_tail - 1]
-        ] + invds
+        self.inv_diags = invds
         # exact coarsest solve: a dense pseudo-inverse both converges better
         # and costs less per cycle than deep towers of tiny smoothing ops
         self.coarse_inv = cinv
@@ -419,6 +412,7 @@ def _coarsen3_probe(fine: "StencilOperator3D") -> "StencilOperator3D":
     )
 
 
+@jax.jit
 def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
     """3D direct Galerkin coarse operator (one strided conv, see _coarsen)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
@@ -562,6 +556,7 @@ def _coarsen_block_probe(
     )
 
 
+@jax.jit
 def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
     """Direct block Galerkin coarse operator: the per-field transfers act
     identically on every (f1, f2) coefficient block, so the scalar RAP conv
