@@ -76,6 +76,37 @@ def solve_direct(
             best = (relres, x)
         if relres <= relres_ok:
             return x
+
+    # Diagonal trimming cannot reach near-null subspaces that are not
+    # axis-aligned (pairs of basis functions with nearly coincident
+    # support); MUMPS catches those as tiny pivots mid-elimination. When
+    # every LU rung fails the backward-error check, fall back to Jacobi-PCG
+    # from zero: Krylov iterations never excite the near-null directions
+    # (b has no component there), so the solution stays bounded.
+    At, bt = _trim_sym(A, b, alive)
+    dd = At.diagonal()
+    Minv = _sp_diags(1.0 / np.where(np.abs(dd) > 0, dd, 1.0))
+    x = np.zeros(n)
+    for solver in (spla.cg, spla.bicgstab):
+        try:
+            x_it, _ = solver(At, bt, M=Minv, x0=x, maxiter=20000,
+                             rtol=relres_ok * 1e-2, atol=0.0)
+        except TypeError:  # older scipy spells rtol as tol
+            x_it, _ = solver(At, bt, M=Minv, x0=x, maxiter=20000,
+                             tol=relres_ok * 1e-2, atol=0.0)
+        relres = np.linalg.norm(At @ x_it - bt) / bnorm
+        if np.isfinite(relres) and (best is None or relres < best[0]):
+            best = (relres, x_it)
+        if relres <= relres_ok:
+            return x_it
+        x = x_it if np.all(np.isfinite(x_it)) else x
+
     if best is None:
         raise RuntimeError("solve_direct: all trimmed factorizations failed")
     return best[1]
+
+
+def _sp_diags(v):
+    import scipy.sparse as sp
+
+    return sp.diags(v)
