@@ -36,10 +36,26 @@ def setup(enable_x64: bool = True) -> None:
     # minutes of remote compiles; cached reruns start in seconds. Off with
     # IIFEA_NO_COMPILE_CACHE=1.
     if not os.environ.get("IIFEA_NO_COMPILE_CACHE"):
-        # namespace by host + requested platform: XLA:CPU persists AOT
-        # executables specialized to the compiling machine's CPU features,
-        # and loading them on a different host risks SIGILL
-        tag = f"{os.uname().nodename}-{plat or 'default'}"
+        # namespace by host + CPU features + requested platform: XLA:CPU
+        # persists AOT executables specialized to the compiling machine's
+        # CPU features, and loading them on a different host risks SIGILL
+        # (the nodename alone is stable across VM reschedules onto
+        # different-featured hosts — observed as cpu_aot_loader feature-
+        # mismatch warnings)
+        cpu_tag = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        cpu_tag = "-" + hashlib.sha1(
+                            line.encode()
+                        ).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        tag = f"{os.uname().nodename}{cpu_tag}-{plat or 'default'}"
         cache = os.environ.get(
             "IIFEA_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(

@@ -47,7 +47,9 @@ _SLOW_NODES = {
     "test_mg_accelerates_cg",
     # ksp mg paths (fast rep: test_solve_ksp_mg_pc_block)
     "test_solve_ksp_mg_pc_3d", "test_solve_ksp_mg_pc",
-    "test_newton_with_mg_fast_path",
+    "test_newton_with_mg_fast_path", "test_tg_step_with_block_mg",
+    # direct solver (fast rep: test_direct_near_null_pivot_escalation)
+    "test_direct_iterative_fallback_3d",
     # lattice_bin (fast reps: [9-12] probe, f32_close, cell_stiffness_df)
     "test_binned_lattice_solver_end_to_end",
     "test_df_apply_matches_f64_general", "test_rhs_df_fast_path",
@@ -60,6 +62,7 @@ _SLOW_NODES = {
     "test_sharded_matvec_matches_single", "test_sharded_diag_matches_single",
     "test_sharded_residual_matches_single",
     "test_sharded_stencil_mv_matches_single",
+    "test_sharded_bench_refine_matches_single",
     # models (fast reps: taylor_green_single_step, biharmonic)
     "test_elasticity_kirsch_convergence", "test_shell_energy_hessian_symmetry",
     "test_poisson_quadratic_rates", "test_pinned_shell_center_deflection",
