@@ -64,9 +64,21 @@ LINEAR_SOLVER = args.solv
 PRECONDITIONER = args.pc
 
 if args.mesh_root == "synthetic":
-    n = 8 * 2 ** int(ref)
-    mesh_f, M_synth = immersed_square_problem(n_fg=n, n_bg=max(n // 2, 4),
-                                              degree=k)
+    # native immersed-pair generator: covers refinement levels whose
+    # MORIS artifacts are stripped from the reference checkout (e.g. the
+    # finer 3D cubes), and any scale beyond them
+    if dim == 3:
+        from iifea_tpu.mesh.generators import immersed_cube_problem
+        n = 6 * 2 ** int(ref)
+        mesh_f, M_synth = immersed_cube_problem(
+            n_fg=int(n * 1.19), n_bg=n
+        )
+        if k != 1:
+            raise SystemExit("synthetic 3D meshes are linear (k=1)")
+    else:
+        n = 8 * 2 ** int(ref)
+        mesh_f, M_synth = immersed_square_problem(n_fg=n, n_bg=max(n // 2, 4),
+                                                  degree=k)
 else:
     sub = 'square' if dim == 2 else 'cube'
     deg = 'Linear' if k == 1 else 'Quadratic'

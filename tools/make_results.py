@@ -109,6 +109,14 @@ def main():
         poisson, ["L2", "H10"],
         "L2 ~ h^(k+1) (rate k+1), H10 ~ h^k (rate k)", group=["dim", "k"]
     )
+    psyn = load("poisson_synthetic")
+    conv_section(
+        out, "Poisson, synthetic immersed pair "
+             "(demos/poisson.py --mesh-root synthetic — native generator, "
+             "covers levels whose MORIS artifacts are stripped)",
+        psyn, ["L2", "H10"],
+        "L2 ~ h^(k+1), H10 ~ h^k", group=["dim", "k"]
+    )
     ela = load("elasticity")
     conv_section(
         out, "Linear elasticity, Kirsch plate "
