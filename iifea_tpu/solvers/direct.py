@@ -42,6 +42,7 @@ def solve_direct(
     b: np.ndarray,
     null_pivot_tol: float = 1e-12,
     relres_ok: float = 1e-8,
+    relres_accept: float = 1e-4,
 ):
     """Solve A x = b with sparse LU; returns numpy array."""
     import scipy.sparse.linalg as spla
@@ -66,15 +67,41 @@ def solve_direct(
         keep = alive if tol is None else alive * (d > tol * dmax)
         At, bt = _trim_sym(A, b, keep)
         try:
-            x = spla.splu(At).solve(bt)
+            lu = spla.splu(At)
+            x = lu.solve(bt)
         except RuntimeError:  # singular factor: escalate the trim
             continue
         relres = np.linalg.norm(At @ x - bt) / bnorm
         if not np.isfinite(relres):
             continue
+        # Iterative refinement distinguishes the two failure modes that a
+        # one-solve residual cannot:
+        #  * a STABLE factorization of an ill-conditioned system (shell
+        #    Jacobians: relres stalls near eps*cond ~ 1e-5) — refinement
+        #    stagnates but never grows; the solution is the right Newton
+        #    step and must be ACCEPTED, because deeper trim rungs would
+        #    discard well-supported dofs with legitimately small h^3
+        #    bending diagonals and collapse the solution toward zero;
+        #  * an UNSTABLE factorization (element growth on near-null
+        #    subspaces: cube R3) — refinement diverges explosively
+        #    (1.9e-4 -> 5.7e10 in one pass); escalate the trim.
+        diverged = False
+        for _ in range(4):
+            if relres <= relres_ok:
+                break
+            dx = lu.solve(bt - At @ x)
+            x2 = x + dx
+            r2 = np.linalg.norm(At @ x2 - bt) / bnorm
+            if not np.isfinite(r2) or r2 > 10.0 * relres:
+                diverged = True
+                break
+            if r2 < relres:
+                x, relres = x2, r2
+            else:                      # stagnated at the conditioning floor
+                break
         if best is None or relres < best[0]:
             best = (relres, x)
-        if relres <= relres_ok:
+        if relres <= relres_ok or (not diverged and relres <= relres_accept):
             return x
 
     # Diagonal trimming cannot reach near-null subspaces that are not

@@ -101,6 +101,27 @@ def test_direct_near_null_pivot_escalation():
     assert np.abs(x).max() < 1e3
 
 
+def test_direct_ill_conditioned_stable_not_gutted():
+    """A STABLE factorization of an ill-conditioned system (shell-Jacobian
+    class, cond ~1e11: refinement stagnates at eps*cond but never grows)
+    must be accepted as-is — escalating the trim ladder here discards
+    legitimate small-diagonal dofs and collapses the solution toward zero
+    (the cut_shell tip-displacement (0,0,0) regression)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    n = 80
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    # smooth spectrum spanning 11 orders of magnitude
+    A = Q @ np.diag(np.logspace(-11, 0, n)) @ Q.T
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    x = solve_direct(sp.csr_matrix(A), b)
+    # the small-eigenvalue components are genuine solution content: a
+    # gutted (over-trimmed) solve returns |x| << |x_true|
+    assert np.linalg.norm(x - x_true) < 1e-3 * np.linalg.norm(x_true)
+
+
 def test_direct_iterative_fallback_3d():
     """Synthetic immersed cube where every LU rung fails the backward-error
     check (non-axis-aligned near-null subspace, cond ~1e19): solve_direct
