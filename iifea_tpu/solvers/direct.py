@@ -7,16 +7,20 @@ host CPU, including the null-pivot handling the reference enables via
 
 - structurally empty rows (background basis functions without foreground
   support, common.py:261-332) are converted to identity rows up front;
-- near-null pivots are handled *adaptively*: if the factorization of the
-  trimmed system is not backward-stable (relative residual above
-  ``relres_ok``), rows whose diagonal is below an escalating relative
-  threshold are symmetrically trimmed (row+column zeroed, unit diagonal,
-  zero rhs — the trimNodes/BFR semantics of common.py:261-332) and the
-  factorization is retried. This mirrors MUMPS, which fixes null pivots as
-  they appear during elimination rather than by a static pre-pass; SuperLU
-  has no such hook, so the escalation ladder stands in for it. On
-  well-conditioned systems the first factorization passes the residual
-  check and no extra trimming happens.
+- each factorization's *stability* is judged by iterative refinement, not
+  by its one-solve residual: a stable LU of an ill-conditioned system
+  (shell Jacobians) stagnates at its conditioning floor and is accepted,
+  while an unstable one (element growth on near-null subspaces) diverges
+  under refinement and triggers an escalating relative-diagonal BFR trim
+  (row+column zeroed, unit diagonal, zero rhs — the trimNodes semantics of
+  common.py:261-332). This mirrors MUMPS, which fixes null pivots as they
+  appear during elimination; SuperLU has no such hook.
+- if every rung is unstable (non-axis-aligned near-null subspaces that no
+  diagonal threshold can see), the solve falls back to Jacobi-PCG from
+  zero, which never excites the near-null directions.
+
+On well-conditioned systems the first factorization passes the residual
+check and none of this machinery engages.
 """
 from __future__ import annotations
 
@@ -111,8 +115,8 @@ def solve_direct(
     # from zero: Krylov iterations never excite the near-null directions
     # (b has no component there), so the solution stays bounded.
     At, bt = _trim_sym(A, b, alive)
-    dd = At.diagonal()
-    Minv = _sp_diags(1.0 / np.where(np.abs(dd) > 0, dd, 1.0))
+    dd = np.abs(At.diagonal())   # |diag|: CG needs a positive preconditioner
+    Minv = _sp_diags(1.0 / np.where(dd > 0, dd, 1.0))
     x = np.zeros(n)
     for solver in (spla.cg, spla.bicgstab):
         try:
