@@ -99,8 +99,10 @@ def main():
            "",
            "Source data: `studies/*.jsonl`, produced by"
            " `tools/run_studies.py` driving the demo CLIs end-to-end"
-           " (each row = one full demo run; wall times as measured on"
-           " this box / the attached TPU v5e).",
+           " (each row = one full demo run). Wall times are HOST-CPU"
+           " (single core) unless a row's jsonl record says"
+           " `platform: tpu`; error norms and gold values are"
+           " platform-independent (verified bit-stable across reruns).",
            ""]
 
     poisson = load("poisson")

@@ -44,7 +44,8 @@ def run(name, cmd, patterns, timeout=7200, extra=None):
                else (e.stdout or "")) + "\nTIMEOUT"
         rc = -1
     wall = time.time() - t0
-    rec = {"cmd": " ".join(cmd), "rc": rc, "wall_s": round(wall, 1)}
+    rec = {"cmd": " ".join(cmd), "rc": rc, "wall_s": round(wall, 1),
+           "platform": os.environ.get("IIFEA_PLATFORM", "tpu")}
     if extra:
         rec.update(extra)
     for key, pat in patterns.items():
