@@ -66,6 +66,39 @@ def setup(enable_x64: bool = True) -> None:
     _CONFIGURED = True
 
 
+def auto_platform(n_cells: int, threshold: int = 200_000) -> None:
+    """Route small problems to the host CPU when nothing was forced.
+
+    First contact with a demo on the axon TPU pays minutes of remote
+    compiles through the tunnel; problems under ``threshold`` cells finish
+    in seconds on the host (VERDICT r1 'demo latency' finding). Only
+    applies when (a) the user did not force IIFEA_PLATFORM, (b) the axon
+    plugin is the default platform, and (c) no JAX backend has been
+    initialized yet. Disable with IIFEA_NO_AUTO_HOST=1.
+    """
+    if os.environ.get("IIFEA_PLATFORM") or os.environ.get(
+        "IIFEA_NO_AUTO_HOST"
+    ):
+        return
+    if n_cells >= threshold:
+        return
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    try:
+        import jax._src.xla_bridge as xb
+
+        if xb._backends:        # too late: a backend already initialized
+            return
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    print(
+        f"[iifea_tpu] small problem ({n_cells} cells < {threshold}): "
+        "running on host CPU (set IIFEA_NO_AUTO_HOST=1 or "
+        "IIFEA_PLATFORM=<p> to override)"
+    )
+
+
 @dataclasses.dataclass
 class SolverConfig:
     """Mirrors the reference's linear-solve knobs (common.py:509-641).

@@ -68,6 +68,12 @@ def read_mesh(path: str) -> Mesh:
     cn_path = os.path.join(base, "cell_nodes.csv")
     if os.path.exists(cn_path):
         cell_nodes = read_cell_nodes(cn_path)
+
+    # small meshes run faster on the host than through the TPU tunnel's
+    # remote compiles; decide before the first jax op (Mesh is numpy-only)
+    from iifea_tpu.config import auto_platform
+
+    auto_platform(len(cells))
     return Mesh(coords, cells, material, cell_nodes)
 
 
