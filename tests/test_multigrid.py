@@ -161,3 +161,20 @@ def test_coarsen_direct_matches_probe_block():
     assert np.allclose(
         np.asarray(Sc_d.coeffs), np.asarray(Sc_p.coeffs), atol=1e-12
     )
+
+
+def test_chebyshev_smoother_option():
+    """smoother='chebyshev' must converge inside CG like the default (it
+    carries per-level lambda-max estimates through the pytree)."""
+    S, b = _stencil(16)
+    mg = StencilMultigrid(S, min_size=9, smoother="chebyshev")
+    x_c, info = krylov.cg(S.mv, b, minv=mg.minv, rtol=1e-10, check_every=2)
+    assert bool(info.converged)
+    mg_j = StencilMultigrid(S, min_size=9)
+    x_j, _ = krylov.cg(S.mv, b, minv=mg_j.minv, rtol=1e-10, check_every=2)
+    d = S.diag()
+    mask = np.asarray(jnp.abs(d) > 0)
+    scale = max(float(jnp.abs(x_j).max()), 1.0)
+    assert np.allclose(
+        np.asarray(x_c)[mask], np.asarray(x_j)[mask], atol=1e-6 * scale
+    )
