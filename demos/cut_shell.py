@@ -34,6 +34,11 @@ parser.add_argument('--of', dest='of', default='False',
                     help='Output result files')
 parser.add_argument('--steps', dest='steps', default=100,
                     help='Number of load steps (reference: 100)')
+parser.add_argument('--ckpt', dest='ckpt', default=None,
+                    help='Checkpoint directory: resume from latest, save '
+                         'every --ckpt-every load steps')
+parser.add_argument('--ckpt-every', dest='ckpt_every', default=10,
+                    help='Checkpoint interval in load steps')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"))
@@ -80,8 +85,24 @@ tip_hist = np.zeros((N_STEPS, 3))
 top_hist = np.zeros((N_STEPS, 3))
 bot_hist = np.zeros((N_STEPS, 3))
 
+start_step = 0
+if args.ckpt:
+    from iifea_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    resumed = load_checkpoint(args.ckpt)
+    if resumed is not None:
+        start_step, state, meta = resumed
+        u_p, u_f = state["u_p"], state["u_f"]
+        ns = min(start_step, N_STEPS)
+        tip_hist[:ns] = np.asarray(state["tip_hist"])[:ns]
+        top_hist[:ns] = np.asarray(state["top_hist"])[:ns]
+        bot_hist[:ns] = np.asarray(state["bot_hist"])[:ns]
+        t = float(meta["t"])
+        log_info(f">>> Resumed from {args.ckpt} at load step {start_step}, "
+                 f"t = {t}")
+
 log_info(">>> Solving load steps...")
-for i in range(N_STEPS):
+for i in range(start_step, N_STEPS):
     log_info(f"------- Step: {i+1} , t = {t} -------")
     u_p, u_f = solve_nonlinear(
         prob.form, u_f, M, u_p,
@@ -93,6 +114,11 @@ for i in range(N_STEPS):
     tip_hist[i] = prob.evaluate(u_f, [circle_tip])[0]
     top_hist[i] = prob.evaluate(u_f, [wing_top_corner])[0]
     bot_hist[i] = prob.evaluate(u_f, [wing_bottom_corner])[0]
+    if args.ckpt and (i + 1) % int(args.ckpt_every) == 0:
+        save_checkpoint(args.ckpt, i + 1,
+                        {"u_p": u_p, "u_f": u_f, "tip_hist": tip_hist,
+                         "top_hist": top_hist, "bot_hist": bot_hist},
+                        meta={"t": t})
 
 if generate_files:
     os.makedirs("bent_shell_results", exist_ok=True)

@@ -44,6 +44,12 @@ parser.add_argument('--solv', dest='solv', default='gmres',
 parser.add_argument('--pc', dest='pc', default='jacobi',
                     help="Preconditioner; 'mg' = block geometric multigrid "
                          "on the background lattice (synthetic meshes only)")
+parser.add_argument('--ckpt', dest='ckpt', default=None,
+                    help='Checkpoint directory: resume from latest, save '
+                         'every --ckpt-every steps (reference has no '
+                         'checkpointing; SURVEY.md §5)')
+parser.add_argument('--ckpt-every', dest='ckpt_every', default=10,
+                    help='Checkpoint interval in time steps')
 parser.add_argument('--pin-pressure', dest='pin_pressure', default=False,
                     help="Pin one supported pressure dof (removes the "
                          "enclosed-flow constant-pressure null mode; "
@@ -127,7 +133,20 @@ if str2bool(args.pin_pressure):
     zero_ids = np.array([2 * nn + int(np.argmax(d0[2 * nn:]))])
 
 t = 0.0
-for step in range(N_STEPS):
+start_step = 0
+if args.ckpt:
+    from iifea_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    resumed = load_checkpoint(args.ckpt)
+    if resumed is not None:
+        start_step, state, meta = resumed
+        up_p = state["up_p"]
+        up_f = up_old_f = state["up_old_f"]
+        t = float(meta["t"])
+        log_info(f">>> Resumed from {args.ckpt} at step {start_step}, "
+                 f"t = {t}")
+
+for step in range(start_step, N_STEPS):
     log_info(f"======= Time step {step+1}/{N_STEPS} =======")
     t += 0.5 * Dt
     up_p, up_f = solve_nonlinear(
@@ -149,6 +168,10 @@ for step in range(N_STEPS):
     )                                          # tg_vortex.py:332-338
     up_old_f = up_f
     t += 0.5 * Dt
+    if args.ckpt and (step + 1) % int(args.ckpt_every) == 0:
+        save_checkpoint(args.ckpt, step + 1,
+                        {"up_p": up_p, "up_old_f": up_old_f},
+                        meta={"t": t})
 
 norms = prob.error_norms(up_f, t)
 
