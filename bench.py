@@ -278,25 +278,14 @@ def run_sharded(n_bg: int, devices: int, rtol: float = 1e-10):
         return krylov.cg(Ssh.mv2, b2, minv=minv2, rtol=rtol_pass,
                          atol=1e-30, max_it=500, check_every=4)
 
-    x64 = jnp.zeros(M64.n_bg_dofs, jnp.float64)
-    relres, iters = 1.0, 0
-    for i in range(10):
-        if i == 0:
-            r32 = b64.astype(jnp.float32)
-        else:
-            _, r32, rr = solver._residual_fn(
-                solver.reducers, bound, b64, x64
-            )
-            relres = float(rr)
-            if relres < rtol:
-                break
-        rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
+    def cg_sharded(_S32, _mg, r32, rtol_pass):
         dx2, info = cg_pass(Ssh.shard_vec(r32), jnp.float32(rtol_pass))
-        iters += int(info.iters)
-        x64 = x64 + Ssh.unshard_vec(dx2).astype(jnp.float64)
-    else:
-        _, _, rr = solver._residual_fn(solver.reducers, bound, b64, x64)
-        relres = float(rr)
+        return Ssh.unshard_vec(dx2), info
+
+    # same refinement driver as the single-device path, sharded CG injected
+    x64, relres, iters = solver.refine(
+        S32, mg, bound, b64, rtol, cg_fn=cg_sharded
+    )
     return x64, {
         "devices": devices,
         "rel_residual_f64": float(relres),

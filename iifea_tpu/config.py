@@ -12,6 +12,7 @@ import os
 import jax
 
 _CONFIGURED = False
+_AUTO_PLATFORM_DECIDED = False
 
 
 def setup(enable_x64: bool = True) -> None:
@@ -76,6 +77,12 @@ def auto_platform(n_cells: int, threshold: int = 200_000) -> None:
     plugin is the default platform, and (c) no JAX backend has been
     initialized yet. Disable with IIFEA_NO_AUTO_HOST=1.
     """
+    global _AUTO_PLATFORM_DECIDED
+    if _AUTO_PLATFORM_DECIDED:
+        # only the FIRST mesh of the process decides: a later read of a
+        # small auxiliary mesh must not reroute a large job to the host
+        return
+    _AUTO_PLATFORM_DECIDED = True
     if os.environ.get("IIFEA_PLATFORM") or os.environ.get(
         "IIFEA_NO_AUTO_HOST"
     ):
@@ -92,6 +99,8 @@ def auto_platform(n_cells: int, threshold: int = 200_000) -> None:
     except Exception:
         pass
     jax.config.update("jax_platforms", "cpu")
+    # visible to subprocess-level tooling (e.g. studies platform labels)
+    os.environ["IIFEA_PLATFORM_EFFECTIVE"] = "cpu(auto)"
     print(
         f"[iifea_tpu] small problem ({n_cells} cells < {threshold}): "
         "running on host CPU (set IIFEA_NO_AUTO_HOST=1 or "

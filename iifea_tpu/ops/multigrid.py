@@ -418,6 +418,8 @@ class StencilMultigrid:
         upper-quarter interval targets penalty modes instead of rough
         Laplacian modes). Kept as an option for smoother-sensitive
         operators; the default stays 'jacobi'."""
+        if sweeps <= 0:
+            return x
         S = self.levels[lvl]
         invd = self.inv_diags[lvl]
         hi = 1.05 * self.lmaxs[lvl]

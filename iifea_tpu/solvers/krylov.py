@@ -263,24 +263,25 @@ def gmres(
     max_cycles = max(max_it // max(restart, 1) + 1, 1)
 
     def cond(s):
-        x, rn, rn_prev, it, cyc = s
+        x, rn, it, cyc, stall = s
         # stagnation exit (the PETSc DIVERGED_BREAKDOWN analog): on
         # singular projected systems the attainable residual floors above
         # tol, and restarting forever accumulates null-space junk in x
-        # until the arithmetic overflows — stop once a whole restart cycle
-        # improves the true residual by < 1%
-        improving = rn < 0.99 * rn_prev
-        return (rn > tol) & (cyc < max_cycles) & ((cyc == 0) | improving)
+        # until the arithmetic overflows. Restarted GMRES legitimately
+        # plateaus for one cycle and then recovers, so require TWO
+        # consecutive cycles that improve the true residual by < 1%.
+        return (rn > tol) & (cyc < max_cycles) & (stall < 2)
 
     def body(s):
-        x, rn, rn_prev, it, cyc = s
+        x, rn, it, cyc, stall = s
         x, rn_new, steps = _gmres_cycle(matvec, minv, b, x, restart, tol)
-        return (x, rn_new, rn, it + steps, cyc + 1)
+        stall = jnp.where(rn_new < 0.99 * rn, 0, stall + 1)
+        return (x, rn_new, it + steps, cyc + 1, stall)
 
     r0n = jnp.linalg.norm(b - matvec(x0))
-    x, rn, _, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, r0n, jnp.asarray(jnp.inf, r0n.dtype),
-                     jnp.asarray(0), jnp.asarray(0))
+    x, rn, iters, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0n, jnp.asarray(0), jnp.asarray(0),
+                     jnp.asarray(0))
     )
     return x, SolveInfo(iters, rn, rn <= tol)
 

@@ -61,20 +61,6 @@ def _binned_reducers_cached(form, M, shape, dtype):
     return None if out is _BINNED_FAIL else out
 
 
-def _point_block_inverse(B):
-    """(nF, nF, nn) nodal blocks -> inverses, identity on singular blocks
-    (unsupported background nodes)."""
-    nF, _, nn = B.shape
-    Bn = jnp.moveaxis(B, -1, 0)                    # (nn, nF, nF)
-    eye = jnp.eye(nF, dtype=B.dtype)
-    det = jnp.linalg.det(Bn)
-    safe = jnp.where(
-        (jnp.abs(det) > 1e-300)[:, None, None], Bn, eye[None]
-    )
-    inv = jnp.linalg.inv(safe)
-    return jnp.moveaxis(inv, 0, -1)
-
-
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
 def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     minv = precond.jacobi(diag) if pc == "jacobi" else None

@@ -179,8 +179,13 @@ class BinnedLatticeSolver:
             return StencilMultigrid(S32)
         return StencilMultigrid3D(S32)
 
-    def refine(self, S32, mg, bound, b64, rtol, max_passes=10):
-        """f32 MG-PCG passes with df-residual iterative refinement."""
+    def refine(self, S32, mg, bound, b64, rtol, max_passes=10, cg_fn=None):
+        """f32 MG-PCG passes with df-residual iterative refinement.
+
+        ``cg_fn(S32, mg, r32, rtol_pass) -> (dx32, info)`` defaults to the
+        single-device jit CG; bench.py's sharded pipeline injects a
+        row-block-sharded CG here instead of duplicating this driver."""
+        cg_fn = cg_fn or self._cg_fn
         x64 = jnp.zeros(self.M.n_bg_dofs, jnp.float64)
         relres, iters = 1.0, 0
         for i in range(max_passes):
@@ -194,7 +199,7 @@ class BinnedLatticeSolver:
             # contract only as far as this pass needs (0.25x margin absorbs
             # the f32 apply error), clamped to the f32 floor
             rtol_pass = min(max(0.25 * rtol / relres, 1e-6), 3e-2)
-            dx, info = self._cg_fn(S32, mg, r32, rtol_pass)
+            dx, info = cg_fn(S32, mg, r32, rtol_pass)
             iters += int(info.iters)
             x64 = self._accum_fn(x64, dx)
         else:

@@ -149,13 +149,20 @@ def solve_newtons_linear(
     # the current u_f plays the role of L_b = Mᵀ(-rhs): R(u) = A_f u - b_f.
     blocks, L_b = _assemble(form, jnp.zeros_like(u_f), M, aux, params)
     A = BackgroundOperator(form, blocks, M)
-    # iterate from the caller's u_p (solveNewtonsLinear starts from the passed
-    # initial guess, common.py:335-402 — matters for warm-started load steps)
+    # iterate from the caller's u_p — an extension over the reference, whose
+    # solveNewtonsLinear resets it (u_p = zeroDofBackground, common.py:352);
+    # matters for warm-started load steps.
     u_p = jnp.asarray(u_p, dtype=L_b.dtype)
     if zero_ids is not None:
         mask = mask_from_ids(zero_ids, M.n_bg_dofs)
         A = A.with_trim(mask)
-        L_b = apply_trim_rhs(L_b, mask, target=u_p)
+        # pinned rows target ZERO: in the defect-correction fixed point
+        # res = A u + L = 0 with identity trim rows, L[pin] = t gives
+        # u[pin] = -t — so a warm-start u_p as target would pin the dofs at
+        # MINUS the initial guess. zero_ids semantics are 'constrain to 0'
+        # (trimNodes with target=u_p=0 in the reference, common.py:353-356).
+        L_b = apply_trim_rhs(L_b, mask, target=None)
+        u_p = jnp.where(mask, 0.0, u_p)
 
     initial_norm = initial_norm_res = None
     for i in range(max_iters):

@@ -357,3 +357,44 @@ def test_tg_step_with_block_mg():
     norms = prob.error_norms(up_f, Dt)
     # measured 0.00398 (identical to the jacobi route to 8 digits)
     assert norms["L2u"] < 0.02, norms
+
+
+def test_newtons_linear_warm_start_pins_zero():
+    """solve_newtons_linear with zero_ids and a NONZERO warm-start u_p:
+    pinned dofs must end at 0 (the defect-correction fixed point with
+    target=u_p would park them at MINUS the initial guess), and unpinned
+    dofs must match a cold-started solve."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+    from iifea_tpu.solvers.newton import solve_newtons_linear
+
+    mesh, M = immersed_square_problem(n_fg=18, n_bg=12)
+    prob = PoissonProblem(mesh, k=1, sym=True, beta_value=10)
+    u_f = jnp.zeros(prob.space.n_dofs)
+    pin = np.array([0, 1])
+    cold = solve_newtons_linear(
+        prob.form, u_f, M, jnp.zeros(M.n_bg_dofs), zero_ids=pin,
+        monitor_newton=False, linear_method="direct",
+    )
+    rng = np.random.default_rng(5)
+    warm0 = jnp.asarray(rng.standard_normal(M.n_bg_dofs))
+    warm = solve_newtons_linear(
+        prob.form, u_f, M, warm0, zero_ids=pin,
+        monitor_newton=False, linear_method="direct",
+    )
+    assert np.allclose(np.asarray(warm)[pin], 0.0, atol=1e-12)
+    assert np.allclose(np.asarray(cold)[pin], 0.0, atol=1e-12)
+    # compare on SUPPORTED dofs only: zero-row (unsupported) dofs keep
+    # whatever the initial guess put there — they never enter the residual
+    # and carry no foreground meaning
+    from iifea_tpu.ops.projection import (
+        BackgroundOperator,
+        assemble_background_system,
+    )
+
+    A, _ = assemble_background_system(prob.form, u_f, M)
+    d = np.asarray(A.diag())
+    sup = np.abs(d) > 0
+    scale = max(float(jnp.abs(cold).max()), 1.0)
+    assert np.allclose(np.asarray(warm)[sup], np.asarray(cold)[sup],
+                       atol=1e-5 * scale)

@@ -44,8 +44,13 @@ def run(name, cmd, patterns, timeout=7200, extra=None):
                else (e.stdout or "")) + "\nTIMEOUT"
         rc = -1
     wall = time.time() - t0
+    # the demo itself may auto-route small meshes to the host (config.py
+    # auto_platform prints a marker line) — label such rows 'cpu(auto)'
+    plat = os.environ.get("IIFEA_PLATFORM", "tpu")
+    if "[iifea_tpu] small problem" in out:
+        plat = "cpu(auto)"
     rec = {"cmd": " ".join(cmd), "rc": rc, "wall_s": round(wall, 1),
-           "platform": os.environ.get("IIFEA_PLATFORM", "tpu")}
+           "platform": plat}
     if extra:
         rec.update(extra)
     for key, pat in patterns.items():
