@@ -19,6 +19,8 @@ fall back to the general path (ops/projection.py + solve_ksp).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -72,7 +74,14 @@ class BinnedLatticeSolver:
                 "BinnedLatticeSolver expects the [cell, facet] two-term "
                 f"form structure, got {len(form.terms)} terms"
             )
-        if self.dim == 2:
+        # 2D defaults to the color-probe binned reducers; 3D uses the
+        # cell-window congruence reducers. IIFEA_2D_WINDOW=1 routes 2D
+        # through the window reducers too (direct EᵀKE stencil extraction
+        # instead of 25 colored applies — A/B knob for the probe phase).
+        self._use_window = self.dim == 3 or bool(
+            os.environ.get("IIFEA_2D_WINDOW")
+        )
+        if not self._use_window:
             self.reducers = lattice_bin.build_binned_projection(
                 form, M, self.shape, dtype=np.float32, df=True
             )
@@ -92,7 +101,7 @@ class BinnedLatticeSolver:
         n_dofs, n_fields = form.n_dofs, form.n_fields
         facet_kernel = form.terms[1].kernel
 
-        if self.dim == 2:
+        if not self._use_window:
             _project_rhs_df = lattice_bin.project_rhs_df_binned
             _apply_df = lattice_bin.apply_df_binned
         else:
@@ -117,7 +126,7 @@ class BinnedLatticeSolver:
 
         @jax.jit
         def _probe(reds, bound):
-            if self.dim == 2:
+            if not self._use_window:
                 Y = lattice_bin.probe_y_binned_bound(reds, bound)
                 return StencilOperator2D.from_probe_y(
                     Y, self.shape, radius=2
@@ -125,6 +134,8 @@ class BinnedLatticeSolver:
             C = cell_window.stencil_coeffs_windows(
                 reds, [Kb[0] for Kb in bound]
             )
+            if self.dim == 2:
+                return StencilOperator2D(C, self.shape, 2)
             return StencilOperator3D(C, self.shape, 2)
 
         @jax.jit

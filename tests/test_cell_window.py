@@ -147,3 +147,28 @@ def test_binned_lattice_solver_3d_end_to_end():
         assert abs(n_bin[key] - n_dir[key]) < 1e-8 * abs(n_dir[key]) + 1e-12, (
             key, n_bin[key], n_dir[key]
         )
+
+
+@pytest.mark.slow
+def test_window_reducers_match_binned_2d(monkeypatch):
+    """IIFEA_2D_WINDOW=1 (cell-window congruence reducers in 2D) must
+    reproduce the color-probe binned pipeline's solution."""
+    import numpy as np
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+    from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
+
+    n_bg = 48
+    mesh, M = immersed_square_problem(
+        n_fg=int(n_bg * 1.4142), n_bg=n_bg, dtype=np.float64
+    )
+    prob = PoissonProblem(mesh, k=1, sym=True, beta_value=10,
+                          dtype=np.float64)
+    s1 = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
+    x1, i1 = s1.solve(rtol=1e-10)
+    monkeypatch.setenv("IIFEA_2D_WINDOW", "1")
+    s2 = BinnedLatticeSolver(prob, M, (n_bg + 1, n_bg + 1))
+    x2, i2 = s2.solve(rtol=1e-10)
+    assert i1["rel_residual"] < 1e-10 and i2["rel_residual"] < 1e-10
+    scale = max(float(jnp.abs(x1).max()), 1.0)
+    assert float(jnp.linalg.norm(x1 - x2)) < 1e-4 * scale
