@@ -59,9 +59,9 @@ def build_problem(n_bg: int, dtype, dim: int = 2):
 def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(HERE, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # config.setup() (run at iifea_tpu import) already points the persistent
+    # compile cache at a host+cpu-feature-tagged directory; nothing to do
+    # here beyond importing the package below.
     from iifea_tpu.ops import lattice_bin
     from iifea_tpu.ops.multigrid import StencilMultigrid
     from iifea_tpu.ops.projection import BackgroundOperator
