@@ -793,3 +793,134 @@ class StencilMultigridBlock:
 
     def minv(self, r):
         return self._vcycle(0, r)
+
+
+# -- 3D block (multi-field) hierarchy ------------------------------------------
+
+from iifea_tpu.ops.stencil import StencilOperatorBlock3D  # noqa: E402
+
+
+@jax.jit
+def _coarsen_block3_probe(
+    fine: "StencilOperatorBlock3D",
+) -> "StencilOperatorBlock3D":
+    """3D block Galerkin coarse operator by re-probing (oracle for
+    _coarsen_block3)."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+    nF = fine.n_fields
+
+    def rap_one(xc):
+        x4 = xc.reshape((nF,) + cshape)
+        xf = jnp.stack([_prolong3(x4[f]) for f in range(nF)])
+        yf = fine.mv(xf.reshape(-1)).reshape((nF,) + fine.shape)
+        yc = jnp.stack([_restrict3(yf[f]) for f in range(nF)])
+        return yc.reshape(-1)
+
+    return StencilOperatorBlock3D.probe_multi(
+        jax.vmap(rap_one), cshape, n_fields=nF, radius=fine.radius,
+        dtype=fine.dtype,
+    )
+
+
+@jax.jit
+def _coarsen_block3(
+    fine: "StencilOperatorBlock3D",
+) -> "StencilOperatorBlock3D":
+    """Direct 3D block Galerkin coarse operator: the scalar RAP conv
+    (see _coarsen3) batched over the nF² coefficient blocks."""
+    cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
+    nF = fine.n_fields
+    m3 = (2 * fine.radius + 1) ** 3
+    nx1, ny1, nz1 = fine.shape
+    C = fine.coeffs * jnp.asarray(
+        _offgrid_mask3(fine.shape, fine.radius), fine.dtype
+    )
+    K = jnp.asarray(_rap_kernel3(fine.radius), fine.dtype)
+    y = jax.lax.conv_general_dilated(
+        C.reshape(nF * nF, m3, nx1, ny1, nz1), K,
+        window_strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)),
+    )
+    return StencilOperatorBlock3D(
+        y.reshape((nF, nF, m3) + cshape), cshape, fine.radius
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilMultigridBlock3D:
+    """Symmetric V-cycle preconditioner for a StencilOperatorBlock3D —
+    completes the (2D/3D) x (scalar/block) stencil-MG matrix. Same design
+    as StencilMultigridBlock: per-field full-weighting/trilinear transfers,
+    direct-conv block Galerkin coarse stencils, l1-regularized point-block
+    Jacobi smoothing, dense Newton–Schulz pseudo-inverse coarsest solve."""
+
+    def tree_flatten(self):
+        return (self.levels, self.binvs, self.coarse_inv), (
+            self.nu_pre, self.nu_post, self.omega, self.coarse_sweeps,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.levels, obj.binvs, obj.coarse_inv = children
+        obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps = aux
+        return obj
+
+    def __init__(
+        self,
+        S: StencilOperatorBlock3D,
+        nu_pre: int = 2,
+        nu_post: int = 2,
+        omega: float = 1.0,
+        coarse_sweeps: int = 60,
+        min_size: int = 9,
+        coarse_dense: bool = True,
+    ):
+        self.nu_pre, self.nu_post = nu_pre, nu_post
+        self.omega = omega
+        self.coarse_sweeps = coarse_sweeps
+        self.levels = [S]
+        while all(
+            (s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape
+        ):
+            self.levels.append(_coarsen_block3(self.levels[-1]))
+        # _point_binv and _dense_inverse_block only touch the shared block
+        # interface (point_block_diag / coeffs / mv / n) — reused as-is
+        self.binvs = [_point_binv(S_l) for S_l in self.levels]
+        self.coarse_inv = (
+            _dense_inverse_block(self.levels[-1])
+            if coarse_dense and self.levels[-1].n <= 8192
+            else None
+        )
+
+    def _smooth(self, lvl: int, x, b, sweeps: int):
+        S = self.levels[lvl]
+        Binv = self.binvs[lvl]
+        nF, _, nn = Binv.shape
+        om = self.omega
+
+        def body(_, x):
+            r = (b - S.mv(x)).reshape(nF, nn)
+            return x + om * jnp.einsum("abn,bn->an", Binv, r).reshape(-1)
+
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+    def _vcycle(self, lvl: int, b):
+        S = self.levels[lvl]
+        nF = S.n_fields
+        if lvl == len(self.levels) - 1:
+            if self.coarse_inv is not None:
+                return self.coarse_inv @ b
+            return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
+        r = (b - S.mv(x)).reshape((nF,) + S.shape)
+        rc = jnp.stack([_restrict3(r[f]) for f in range(nF)]).reshape(-1)
+        xc = self._vcycle(lvl + 1, rc)
+        Sc = self.levels[lvl + 1]
+        xc4 = xc.reshape((nF,) + Sc.shape)
+        x = x + jnp.stack(
+            [_prolong3(xc4[f]) for f in range(nF)]
+        ).reshape(-1)
+        return self._smooth(lvl, x, b, self.nu_post)
+
+    def minv(self, r):
+        return self._vcycle(0, r)

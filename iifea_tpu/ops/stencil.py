@@ -418,6 +418,43 @@ class StencilOperatorBlock2D:
         return worst
 
 
+def _distribute_probe3(Y: jnp.ndarray, shape, radius: int) -> jnp.ndarray:
+    """Distribute 3D colored-probe responses Y (m³, n) into coefficient
+    planes C (m³, nx1, ny1, nz1).
+
+    Coefficient k (offset o = (oi,oj,ok)) at node (i,j,k) is
+    Y[color((i+oi)%m, (j+oj)%m, (k+ok)%m), i, j, k] — one leading-axis
+    take_along_axis per offset inside a scan. The scan keeps the jit graph
+    O(1) in m³ (the unrolled per-color slice form is 15k+ ops in 3D and
+    stalls the TPU compiler for minutes)."""
+    nx1, ny1, nz1 = shape
+    r = radius
+    m = 2 * r + 1
+    I, J, K = jnp.meshgrid(
+        jnp.arange(nx1), jnp.arange(ny1), jnp.arange(nz1), indexing="ij"
+    )
+    Yr = Y.reshape(m**3, nx1, ny1, nz1)
+    P = I % m
+    Q = J % m
+    S_ = K % m
+    offs = jnp.asarray(
+        [
+            (oi, oj, ok)
+            for oi in range(-r, r + 1)
+            for oj in range(-r, r + 1)
+            for ok in range(-r, r + 1)
+        ],
+        dtype=jnp.int32,
+    )
+
+    def body(_, o):
+        idx = ((P + o[0]) % m * m + (Q + o[1]) % m) * m + (S_ + o[2]) % m
+        return None, jnp.take_along_axis(Yr, idx[None], axis=0)[0]
+
+    _, C = jax.lax.scan(body, None, offs)
+    return C
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilOperator3D:
     """A_b in variable-coefficient stencil form on an (nx+1, ny+1, nz+1)
@@ -473,31 +510,7 @@ class StencilOperator3D:
             axis=0,
         )                                                       # (m³, n)
         Y = matvec_multi(X).astype(dtype)                       # (m³, n)
-
-        # class extraction: coefficient k (offset o = (oi,oj,ok)) at node
-        # (i,j,k) is Y[color((i+oi)%m, (j+oj)%m, (k+ok)%m), i, j, k] — one
-        # leading-axis take_along_axis per offset inside a scan. The scan
-        # keeps the jit graph O(1) in m³ (the unrolled per-color slice form
-        # is 15k+ ops in 3D and stalls the TPU compiler for minutes).
-        Yr = Y.reshape(m**3, nx1, ny1, nz1)
-        P = I % m
-        Q = J % m
-        S_ = K % m
-        offs = jnp.asarray(
-            [
-                (oi, oj, ok)
-                for oi in range(-r, r + 1)
-                for oj in range(-r, r + 1)
-                for ok in range(-r, r + 1)
-            ],
-            dtype=jnp.int32,
-        )
-
-        def body(_, o):
-            idx = ((P + o[0]) % m * m + (Q + o[1]) % m) * m + (S_ + o[2]) % m
-            return None, jnp.take_along_axis(Yr, idx[None], axis=0)[0]
-
-        _, C = jax.lax.scan(body, None, offs)
+        C = _distribute_probe3(Y, shape, r)
         return StencilOperator3D(C, shape, r)
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -523,6 +536,163 @@ class StencilOperator3D:
         m = 2 * r + 1
         k0 = (r * m + r) * m + r
         return self.coeffs[k0].reshape(-1)
+
+    def verify(self, matvec, seed: int = 0, n_checks: int = 2) -> float:
+        rng = np.random.default_rng(seed)
+        worst = 0.0
+        for _ in range(n_checks):
+            x = jnp.asarray(
+                rng.standard_normal(self.n).astype(self.coeffs.dtype)
+            )
+            y_ref = matvec(x)
+            y = self.mv(x)
+            num = float(jnp.linalg.norm(y - y_ref))
+            den = float(jnp.linalg.norm(y_ref)) or 1.0
+            worst = max(worst, num / den)
+        return worst
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilOperatorBlock3D:
+    """Block (multi-field) stencil operator on an (nx+1, ny+1, nz+1)
+    lattice — the 3D analog of StencilOperatorBlock2D for vector problems
+    on box backgrounds. Background dofs are field-blocked
+    (bg_id = node + field*m, common.py:703):
+
+        y[f1] = Σ_{f2} Σ_{|d|<=r} C[f1, f2, d] ⊙ shift_d(x[f2])
+    """
+
+    def __init__(self, coeffs: jnp.ndarray, shape, radius: int):
+        self.coeffs = coeffs      # (nF, nF, (2r+1)³, nx1, ny1, nz1)
+        self.shape = tuple(shape)
+        self.radius = radius
+        self.n_fields = coeffs.shape[0]
+        self.nn = shape[0] * shape[1] * shape[2]
+        self.n = self.n_fields * self.nn
+
+    @property
+    def dtype(self):
+        return self.coeffs.dtype
+
+    def tree_flatten(self):
+        return (self.coeffs,), (self.shape, self.radius)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, radius = aux
+        return cls(leaves[0], shape, radius)
+
+    def astype(self, dtype) -> "StencilOperatorBlock3D":
+        return StencilOperatorBlock3D(
+            self.coeffs.astype(dtype), self.shape, self.radius
+        )
+
+    @staticmethod
+    def probe_multi(matvec_multi, shape, n_fields: int, radius: int = 2,
+                    dtype=jnp.float32) -> "StencilOperatorBlock3D":
+        """Extract the nF² (2r+1)³ stencils by one stacked (nF·m³, n)
+        probe: field indicator × lattice phase colors (same disjoint-
+        neighborhood argument as the 2D block probe)."""
+        nx1, ny1, nz1 = shape
+        nn = nx1 * ny1 * nz1
+        r = radius
+        m = 2 * r + 1
+        I, J, K = jnp.meshgrid(
+            jnp.arange(nx1), jnp.arange(ny1), jnp.arange(nz1), indexing="ij"
+        )
+        combs = [
+            ((I % m == a) & (J % m == b) & (K % m == c))
+            .astype(dtype).reshape(-1)
+            for a in range(m)
+            for b in range(m)
+            for c in range(m)
+        ]
+        zero = jnp.zeros(nn, dtype)
+        X = jnp.stack(
+            [
+                jnp.concatenate(
+                    [c if f == f2 else zero for f in range(n_fields)]
+                )
+                for f2 in range(n_fields)
+                for c in combs
+            ],
+            axis=0,
+        )                                      # (nF·m³, nF·nn)
+        Y = matvec_multi(X).astype(dtype)
+        C = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        _distribute_probe3(
+                            Y[f2 * m**3:(f2 + 1) * m**3,
+                              f1 * nn:(f1 + 1) * nn],
+                            shape, r,
+                        )
+                        for f2 in range(n_fields)
+                    ]
+                )
+                for f1 in range(n_fields)
+            ]
+        )                                      # (nF, nF, m³, nx1, ny1, nz1)
+        return StencilOperatorBlock3D(C, shape, radius)
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        nF = self.n_fields
+        nx1, ny1, nz1 = self.shape
+        r = self.radius
+        m = 2 * r + 1
+        x4 = x.reshape(nF, nx1, ny1, nz1)
+        xp = jnp.pad(x4, ((0, 0), (r, r), (r, r), (r, r)))
+
+        # scan over the m³ offsets (unrolled, this is nF²·125 slice-FMAs —
+        # the same compile-size hazard the scalar 3D probe avoids)
+        offs = jnp.asarray(
+            [
+                (oi, oj, ok)
+                for oi in range(m)
+                for oj in range(m)
+                for ok in range(m)
+            ],
+            dtype=jnp.int32,
+        )
+        Cr = self.coeffs                      # (nF, nF, m³, ...)
+
+        def body(y, ko):
+            k, o = ko
+            sh = jnp.stack([
+                jax.lax.dynamic_slice(
+                    xp[f2], (o[0], o[1], o[2]), (nx1, ny1, nz1)
+                )
+                for f2 in range(nF)
+            ])                                 # (nF, nx1, ny1, nz1)
+            Ck = jnp.take(Cr, k, axis=2)       # (nF, nF, nx1, ny1, nz1)
+            return y + jnp.einsum("abxyz,bxyz->axyz", Ck, sh), None
+
+        y0 = jnp.zeros_like(x4)
+        y, _ = jax.lax.scan(
+            body, y0, (jnp.arange(m**3, dtype=jnp.int32), offs)
+        )
+        return y.reshape(-1)
+
+    def mv_multi(self, X: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(self.mv)(X)
+
+    def diag(self) -> jnp.ndarray:
+        r = self.radius
+        m = 2 * r + 1
+        k0 = (r * m + r) * m + r
+        return jnp.stack(
+            [self.coeffs[f, f, k0] for f in range(self.n_fields)]
+        ).reshape(-1)
+
+    def point_block_diag(self) -> jnp.ndarray:
+        """(nF, nF, nn) nodal blocks for point-block-Jacobi smoothing."""
+        r = self.radius
+        m = 2 * r + 1
+        k0 = (r * m + r) * m + r
+        return self.coeffs[:, :, k0].reshape(
+            self.n_fields, self.n_fields, self.nn
+        )
 
     def verify(self, matvec, seed: int = 0, n_checks: int = 2) -> float:
         rng = np.random.default_rng(seed)

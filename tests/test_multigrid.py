@@ -178,3 +178,68 @@ def test_chebyshev_smoother_option():
     assert np.allclose(
         np.asarray(x_c)[mask], np.asarray(x_j)[mask], atol=1e-6 * scale
     )
+
+
+def test_coarsen_direct_matches_probe_block3d():
+    from iifea_tpu.ops.multigrid import (
+        _coarsen_block3,
+        _coarsen_block3_probe,
+    )
+    from iifea_tpu.ops.stencil import StencilOperatorBlock3D
+
+    rng = np.random.default_rng(12)
+    C = jnp.asarray(rng.standard_normal((2, 2, 125, 9, 9, 9)))
+    S = StencilOperatorBlock3D(C, (9, 9, 9), 2)
+    Sc_d, Sc_p = _coarsen_block3(S), _coarsen_block3_probe(S)
+    assert np.allclose(
+        np.asarray(Sc_d.coeffs), np.asarray(Sc_p.coeffs), atol=1e-12
+    )
+
+
+def test_block3d_probe_and_mg():
+    """3D block stencil: probe_multi recovers a field-coupled operator
+    exactly, and the block V-cycle preconditions CG far better than plain
+    CG on a well-posed SPD operator (B x 7-point-Laplacian). Raw immersed
+    operators additionally need BFR trimming / null-mode deflation before
+    the coarse pseudo-inverse, as the 2D block ksp branch does."""
+    import itertools
+    from iifea_tpu.ops.multigrid import StencilMultigridBlock3D
+    from iifea_tpu.ops.stencil import StencilOperatorBlock3D
+
+    shape = (13, 13, 13)
+    C = np.zeros((125,) + shape)
+    for i, (oi, oj, ok) in enumerate(
+        itertools.product(range(-2, 3), repeat=3)
+    ):
+        taxi = abs(oi) + abs(oj) + abs(ok)
+        if taxi == 0:
+            C[i] = 6.0
+        elif taxi == 1:
+            C[i] = -1.0
+    B = np.array([[2.0, 0.7], [0.7, 1.5]])       # SPD field coupling
+    Cb = jnp.asarray(np.einsum("ab,kxyz->abkxyz", B, C))
+    S = StencilOperatorBlock3D(Cb, shape, 2)
+
+    # probing the block operator's own matvec must reproduce it exactly on
+    # in-grid slots (off-grid-column slots are never read by the matvec:
+    # the probe correctly returns 0 there while the synthetic C holds -1)
+    from iifea_tpu.ops.multigrid import _offgrid_mask3
+
+    S2 = StencilOperatorBlock3D.probe_multi(
+        S.mv_multi, shape, n_fields=2, radius=2, dtype=jnp.float64
+    )
+    msk = _offgrid_mask3(shape, 2)
+    assert np.allclose(
+        np.asarray(S2.coeffs) * msk, np.asarray(Cb) * msk, atol=1e-12
+    )
+
+    mg = StencilMultigridBlock3D(S, min_size=7)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(S.n))
+    x_mg, info = krylov.cg(S.mv, b, minv=mg.minv, rtol=1e-10, check_every=2)
+    x_cg, info_cg = krylov.cg(S.mv, b, rtol=1e-10, check_every=2,
+                              max_it=20000)
+    assert bool(info.converged)
+    assert int(info.iters) < int(info_cg.iters) / 3
+    assert np.allclose(np.asarray(x_mg), np.asarray(x_cg),
+                       atol=1e-7 * float(jnp.abs(x_cg).max()))
