@@ -315,6 +315,9 @@ def immersed_square_problem(
 
     Returns (mesh_f, M) ready for PoissonProblem-style assembly.
     """
+    from iifea_tpu.config import auto_platform
+
+    auto_platform(2 * n_fg * n_fg)  # same routing rule as read_mesh
     mesh_f = rectangle_mesh((-L / 2, -L / 2), (L / 2, L / 2), n_fg, n_fg)
     cent = mesh_f.cell_coords.mean(1)
     a = np.deg2rad(angle)
@@ -356,6 +359,9 @@ def immersed_cube_problem(
     """
     from iifea_tpu.mesh.core import FunctionSpace
 
+    from iifea_tpu.config import auto_platform
+
+    auto_platform(6 * n_fg ** 3)  # same routing rule as read_mesh
     mesh_f = box_mesh((-L / 2,) * 3, (L / 2,) * 3, n_fg, n_fg, n_fg)
     cent = mesh_f.cell_coords.mean(1)
     a = np.deg2rad(angle)
