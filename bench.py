@@ -386,7 +386,44 @@ def main():
         print(json.dumps(run_cpu_baseline(args.n_bg, args.rtol, args.dim)))
         return
 
-    tpu = run_tpu(args.n_bg, args.rtol, args.verbose, args.dim)
+    # A wedged axon tunnel makes backend init HANG (not error) — probe it in
+    # a subprocess with a timeout so the driver record stays self-explaining
+    # in both failure modes (down -> RuntimeError, wedged -> hang). Raw jax
+    # does not read IIFEA_PLATFORM, so only probe when the run would actually
+    # touch the default (axon) backend.
+    probe_err = None
+    if os.environ.get("IIFEA_PLATFORM", "").lower() not in ("cpu", "host"):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=180, env=os.environ,
+            )
+            probe_err = (None if probe.returncode == 0
+                         else (probe.stderr or probe.stdout)[-300:])
+        except subprocess.TimeoutExpired:
+            probe_err = "backend init hung >180s (tunnel wedged)"
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "immersed_poisson_bench",
+            "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+            "error": "tpu_unavailable", "detail": probe_err,
+        }))
+        sys.exit(0)
+
+    try:
+        tpu = run_tpu(args.n_bg, args.rtol, args.verbose, args.dim)
+    except RuntimeError as e:
+        if "backend" not in str(e).lower():
+            raise
+        # self-explaining driver record: distinguish "tunnel down" from
+        # "code broke" (VERDICT r2 weak #5) — still one parseable JSON line
+        print(json.dumps({
+            "metric": "immersed_poisson_bench",
+            "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+            "error": "tpu_unavailable", "detail": str(e)[:300],
+        }))
+        sys.exit(0)
 
     key = f"n{args.n_bg}" if args.dim == 2 else f"n{args.n_bg}_d3"
     cache = {}

@@ -46,6 +46,12 @@ parser.add_argument('--of', dest='of', default='poisson_data.csv',
                     help='Destination for output data')
 parser.add_argument('--Ex', dest='Ex', default=True,
                     help='Option to solve on the FG mesh (False: identity M)')
+parser.add_argument('--devices', dest='devices', default=1, type=int,
+                    help='Solve SPMD over N devices (the mpirun analog): '
+                         'fused-extraction sharded assembly + CG '
+                         '(iifea_tpu.parallel.sharding). For a virtual mesh: '
+                         'XLA_FLAGS=--xla_force_host_platform_device_count=N '
+                         'IIFEA_PLATFORM=cpu')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"),
@@ -97,14 +103,36 @@ else:
         os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes
     )
 
-u_f0 = jnp.zeros(prob.space.n_dofs)
-dR_b, R_b = assemble_background_system(prob.form, u_f0, M)  # J du = -res
+if args.devices > 1:
+    # SPMD path (the mpirun analog): extraction fused into the element
+    # gather, one psum per apply, replicated background vector — see
+    # iifea_tpu/parallel/sharding.py. Symmetric Nitsche is SPD => CG.
+    import jax
+    from iifea_tpu.parallel.sharding import (
+        ShardedProjectedSystem, make_device_mesh,
+    )
 
-if dim == 3:
-    # reference uses a direct solver for 3D conditioning (poisson.py:207-210)
-    LINEAR_SOLVER = 'direct'
-u_p, _ = solve_ksp(dR_b, R_b, method=LINEAR_SOLVER, pc=PRECONDITIONER,
-                   bfr_tol=1e-9 if not Ex else None)
+    if len(jax.devices()) < args.devices:
+        raise SystemExit(
+            f"--devices {args.devices}: only {len(jax.devices())} devices "
+            "visible. Provision a virtual mesh, e.g.\n"
+            "  XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{args.devices} IIFEA_PLATFORM=cpu python demos/poisson.py ..."
+        )
+    sys_sh = ShardedProjectedSystem(prob.form, M, make_device_mesh(args.devices))
+    step = jax.jit(sys_sh.make_step(rtol=1e-8, atol=1e-9, max_it=100000))
+    log_info(f"[poisson] SPMD solve over {args.devices} devices")
+    u_p, _resnorm = step(jnp.zeros(M.n_bg_dofs))
+else:
+    u_f0 = jnp.zeros(prob.space.n_dofs)
+    dR_b, R_b = assemble_background_system(prob.form, u_f0, M)  # J du = -res
+
+    if dim == 3:
+        # reference uses a direct solver for 3D conditioning
+        # (poisson.py:207-210)
+        LINEAR_SOLVER = 'direct'
+    u_p, _ = solve_ksp(dR_b, R_b, method=LINEAR_SOLVER, pc=PRECONDITIONER,
+                       bfr_tol=1e-9 if not Ex else None)
 
 u_f = M.mv(u_p)
 norms = prob.error_norms(u_f)

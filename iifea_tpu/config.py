@@ -64,6 +64,24 @@ def setup(enable_x64: bool = True) -> None:
         )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # at process exit, report which backend actually executed (demos can be
+    # auto-routed to host, or the TPU tunnel may be down): subprocess-level
+    # tooling (tools/run_studies.py) scrapes this marker so studies rows
+    # record the real platform, not the requested one
+    import atexit
+
+    def _report_effective_platform():
+        try:
+            import jax._src.xla_bridge as xb
+
+            plats = sorted({d.platform for b in xb._backends.values()
+                            for d in b.local_devices()})
+            if plats:
+                print(f"[iifea_tpu] effective platform: {','.join(plats)}")
+        except Exception:
+            pass
+
+    atexit.register(_report_effective_platform)
     _CONFIGURED = True
 
 

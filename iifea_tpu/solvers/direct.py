@@ -64,12 +64,16 @@ def solve_direct(
 
     d = np.abs(A.diagonal())
     dmax = d.max() if n else 1.0
-    bnorm = max(np.linalg.norm(b), 1e-300)
 
     best = None
     for tol in _TRIM_LADDER:
         keep = alive if tol is None else alive * (d > tol * dmax)
         At, bt = _trim_sym(A, b, keep)
+        # relres must be relative to the system actually factorized: if a
+        # trim rung zeroes rows carrying most of ||b||, normalizing by the
+        # untrimmed rhs would deflate the residual and let an inaccurate
+        # solve pass relres_ok
+        bnorm = max(np.linalg.norm(bt), 1e-300)
         try:
             lu = spla.splu(At)
             x = lu.solve(bt)
@@ -115,6 +119,7 @@ def solve_direct(
     # from zero: Krylov iterations never excite the near-null directions
     # (b has no component there), so the solution stays bounded.
     At, bt = _trim_sym(A, b, alive)
+    bnorm = max(np.linalg.norm(bt), 1e-300)
     dd = np.abs(At.diagonal())   # |diag|: CG needs a positive preconditioner
     Minv = _sp_diags(1.0 / np.where(dd > 0, dd, 1.0))
     x = np.zeros(n)

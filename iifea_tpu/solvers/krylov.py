@@ -31,6 +31,7 @@ class SolveInfo(NamedTuple):
     resnorm: jnp.ndarray
     converged: jnp.ndarray
     history: jnp.ndarray | None = None
+    stalled: jnp.ndarray | None = None
 
 
 def _tol(b, rtol, atol):
@@ -224,7 +225,11 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     # |R_jj| ~ eps·|R_00| — dividing by them amplifies rounding noise into
     # O(1/eps) garbage y while the Givens estimate still reads 'converged'
     eps = 1e-13 if dtype == jnp.float64 else 1e-5
-    bad = jnp.abs(diag) < eps * jnp.max(jnp.abs(diag))
+    # keep an absolute floor alongside the relative test: on immediate
+    # Arnoldi breakdown (all |R_jj| == 0) the relative threshold is 0,
+    # nothing is flagged, and back-substitution returns NaN where the
+    # correct answer is x0
+    bad = jnp.abs(diag) < jnp.maximum(eps * jnp.max(jnp.abs(diag)), 1e-300)
     R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
     gm = jnp.where(bad, 0.0, g[:m])
 
@@ -268,22 +273,23 @@ def gmres(
         # singular projected systems the attainable residual floors above
         # tol, and restarting forever accumulates null-space junk in x
         # until the arithmetic overflows. Restarted GMRES legitimately
-        # plateaus for one cycle and then recovers, so require TWO
-        # consecutive cycles that improve the true residual by < 1%.
-        return (rn > tol) & (cyc < max_cycles) & (stall < 2)
+        # plateaus and recovers, so the bar is high: THREE consecutive
+        # cycles with essentially no improvement (< 0.1%) in the true
+        # residual — a slow-but-converging solve keeps iterating.
+        return (rn > tol) & (cyc < max_cycles) & (stall < 3)
 
     def body(s):
         x, rn, it, cyc, stall = s
         x, rn_new, steps = _gmres_cycle(matvec, minv, b, x, restart, tol)
-        stall = jnp.where(rn_new < 0.99 * rn, 0, stall + 1)
+        stall = jnp.where(rn_new < 0.999 * rn, 0, stall + 1)
         return (x, rn_new, it + steps, cyc + 1, stall)
 
     r0n = jnp.linalg.norm(b - matvec(x0))
-    x, rn, iters, _, _ = jax.lax.while_loop(
+    x, rn, iters, _, stall = jax.lax.while_loop(
         cond, body, (x0, r0n, jnp.asarray(0), jnp.asarray(0),
                      jnp.asarray(0))
     )
-    return x, SolveInfo(iters, rn, rn <= tol)
+    return x, SolveInfo(iters, rn, rn <= tol, stalled=stall >= 3)
 
 
 def gcr(

@@ -26,9 +26,10 @@ def ref_mesh_path(*parts: str) -> str:
 
 
 # -- test tiers ---------------------------------------------------------------
-# The full suite takes ~20 min on a 1-core host (jit compiles dominate).
-# Default selection excludes @pytest.mark.slow and finishes in ~5 min;
-# `pytest tests/ --runslow` runs everything (the CI/judge full tier).
+# The full suite takes ~20-35 min on a 1-core host (jit compiles dominate).
+# Default selection excludes @pytest.mark.slow and finishes in ~8 min
+# (measured 7.5 min green, r2); `pytest tests/ --runslow` runs everything
+# (the CI/judge full tier).
 import pytest  # noqa: E402
 
 

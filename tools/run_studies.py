@@ -44,11 +44,14 @@ def run(name, cmd, patterns, timeout=7200, extra=None):
                else (e.stdout or "")) + "\nTIMEOUT"
         rc = -1
     wall = time.time() - t0
-    # the demo itself may auto-route small meshes to the host (config.py
-    # auto_platform prints a marker line) — label such rows 'cpu(auto)'
-    plat = os.environ.get("IIFEA_PLATFORM", "tpu")
+    # label with the backend that ACTUALLY executed: config.setup prints an
+    # effective-platform marker at process exit; auto-routed runs add their
+    # own marker. Never assume 'tpu' — the tunnel may be down or the run
+    # rerouted (ADVICE r2).
+    m = re.search(r"\[iifea_tpu\] effective platform: (\S+)", out)
+    plat = m.group(1) if m else os.environ.get("IIFEA_PLATFORM", "unknown")
     if "[iifea_tpu] small problem" in out:
-        plat = "cpu(auto)"
+        plat = f"{m.group(1)}(auto)" if m else "cpu(auto)"
     rec = {"cmd": " ".join(cmd), "rc": rc, "wall_s": round(wall, 1),
            "platform": plat}
     if extra:
