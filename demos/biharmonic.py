@@ -44,7 +44,15 @@ parser.add_argument('--ft', dest='ft', default=1e-5,
                     help='cell volume filtering tolerance')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
-                                           "/root/reference/meshes"))
+                                           "/root/reference/meshes"),
+                    help="Reference mesh artifacts root, or 'synthetic' for "
+                         "a generated immersed square on a quadratic "
+                         "B-spline lattice background — there the 4th-order "
+                         "solve runs ON DEVICE via the radius-3 stencil "
+                         "probe + geometric multigrid (gmres+mg) by "
+                         "default. Reference-CSV artifacts keep host LU: "
+                         "their bg ids are a trimmed subset of an unknown "
+                         "lattice.")
 args = parser.parse_args()
 
 dim = int(args.dimension)
@@ -53,24 +61,54 @@ symmetric = str2bool(args.symmetric)
 write_file = str2bool(args.wf)
 ft = float(args.ft)
 
-sub = 'square' if dim == 2 else 'cube'
-path = os.path.join(args.mesh_root, sub, f"Quadratic/R{ref}")
-mesh_f = read_mesh(path)
-dim = mesh_f.dim
+lattice_shape = None
+if args.mesh_root == "synthetic":
+    # synthetic immersed square on a quadratic B-spline lattice: the
+    # product path is the on-device iterative solve (SURVEY N5) — radius-3
+    # stencil probe (quadratic splines couple control points 3 apart
+    # across straddling fg cells) + MG-preconditioned GMRES.
+    if dim == 3:
+        from iifea_tpu.mesh.generators import immersed_cube_bspline_problem
 
-prob = BiharmonicProblem(
-    mesh_f, sym=symmetric, beta_value=float(args.beta_val),
-    alpha_value=float(args.alpha_val), filter_tol=ft,
-)
+        n_bg = 2 ** (int(ref) + 3) - 1
+        mesh_f, M, lattice_shape = immersed_cube_bspline_problem(
+            n_fg=2 * (n_bg + 1), n_bg=n_bg
+        )
+    else:
+        from iifea_tpu.mesh.generators import immersed_square_bspline_problem
 
-M = ExtractionOperator.from_exop_csv(
-    os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes
-)
+        n_bg = 2 ** (int(ref) + 4) - 1
+        mesh_f, M, lattice_shape = immersed_square_bspline_problem(
+            n_fg=2 * (n_bg + 1), n_bg=n_bg
+        )
+    prob = BiharmonicProblem(
+        mesh_f, sym=symmetric, beta_value=float(args.beta_val),
+        alpha_value=float(args.alpha_val), filter_tol=ft,
+    )
+else:
+    sub = 'square' if dim == 2 else 'cube'
+    path = os.path.join(args.mesh_root, sub, f"Quadratic/R{ref}")
+    mesh_f = read_mesh(path)
+    dim = mesh_f.dim
+
+    prob = BiharmonicProblem(
+        mesh_f, sym=symmetric, beta_value=float(args.beta_val),
+        alpha_value=float(args.alpha_val), filter_tol=ft,
+    )
+
+    M = ExtractionOperator.from_exop_csv(
+        os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes
+    )
 
 u0 = jnp.zeros(prob.space.n_dofs)
 dR_b, R_b = assemble_background_system(prob.form, u0, M)
 
-if dim == 3:
+if lattice_shape is not None:
+    solv = 'gmres' if args.solv in ('gmres', 'direct', 'mumps') else args.solv
+    u_p, _ = solve_ksp(dR_b, R_b, method=solv, pc='mg', rtol=1e-10,
+                       lattice_shape=lattice_shape, stencil_radius=3,
+                       monitor=True)
+elif dim == 3:
     # defect-correction Newton against finite-precision blowup
     # (biharmonic.py:230-231)
     u_p = solve_newtons_linear(

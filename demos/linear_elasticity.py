@@ -47,7 +47,15 @@ parser.add_argument('--of', dest='of', default='error_data.csv',
                     help='Destination for output data')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
-                                           "/root/reference/meshes"))
+                                           "/root/reference/meshes"),
+                    help="Reference mesh artifacts root, or 'synthetic' for "
+                         "a generated immersed square on a lattice "
+                         "background — there the solve runs ON DEVICE via "
+                         "block geometric multigrid (cg+mg) by default. "
+                         "Reference-CSV artifacts keep host LU: their "
+                         "ExOp bg ids are a trimmed subset of an unknown "
+                         "lattice, so the stencil probe has no grid to "
+                         "probe on.")
 args = parser.parse_args()
 
 k = int(args.k)
@@ -57,6 +65,45 @@ symmetric = str2bool(args.symmetric)
 write_file = str2bool(args.wf)
 E = float(args.E)
 nu = float(args.nu)
+
+if args.mesh_root == "synthetic":
+    # synthetic immersed square with a KNOWN lattice background: the
+    # product path here is the on-device iterative solve (SURVEY N5 —
+    # "the product path is iterative"): block stencil probe + geometric
+    # multigrid V-cycle preconditioned CG, all on device.
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+
+    n = 8 * 2 ** int(ref)
+    n_bg = max(n // 2, 4)
+    mesh_f, M_synth = immersed_square_problem(
+        n_fg=n, n_bg=n_bg, degree=k, n_fields=2
+    )
+    prob = ImmersedElasticityProblem(mesh_f, k=k, sym=symmetric)
+    solv = 'cg' if args.solv == 'mumps' else args.solv
+    pc = 'mg' if args.pc is None else args.pc
+
+    u0 = jnp.zeros(prob.space.n_dofs)
+    dR_b, R_b = assemble_background_system(prob.form, u0, M_synth)
+    start = default_timer()
+    u_p, _ = solve_ksp(dR_b, R_b, method=solv, pc=pc, rtol=1e-10,
+                       lattice_shape=(n_bg + 1, n_bg + 1), n_fields=2,
+                       monitor=True)
+    t_solve = default_timer() - start
+    norms = prob.error_norms(M_synth.mv(u_p))
+
+    if write_file:
+        with open(args.of, 'a') as f:
+            f.write("\n")
+            f.write(f"{ref},{norms['L2']},{norms['H10']},{t_solve},synthetic")
+    log_info('-' * 40)
+    log_info(f"Synthetic immersed elasticity (n_fg={n}, n_bg={n_bg}, "
+             f"solv={solv}, pc={pc})")
+    log_info(f"Time for solve_linear: {t_solve}")
+    log_info(f"relative L2 norm: {norms['L2']}")
+    log_info(f"relative H10 norm: {norms['H10']}")
+    log_info('-' * 40)
+    sys.exit(0)
 
 root = os.path.join(args.mesh_root, "hole_in_plate")
 if k == 1:

@@ -116,3 +116,60 @@ class BSplineSpace2D:
             n_fg_nodes=npts, n_bg_nodes=self.n_dofs, n_fields=n_fields,
             dtype=dtype,
         )
+
+
+class BSplineSpace3D:
+    """Tensor-product B-spline space on a box (the 3D analog of
+    BSplineSpace2D; gives the reference's 3D Quadratic cube workloads a
+    runtime-generated background when the CSV artifacts are unavailable,
+    cf. demos/biharmonic.py --dim 3)."""
+
+    def __init__(self, degree: int, n_elems: tuple[int, int, int],
+                 lo: tuple[float, float, float],
+                 hi: tuple[float, float, float]):
+        self.degree = int(degree)
+        self.n_elems = tuple(n_elems)
+        self.lo, self.hi = tuple(lo), tuple(hi)
+        self.knots = [
+            uniform_open_knots(degree, n_elems[d], lo[d], hi[d])
+            for d in range(3)
+        ]
+        self.ncp = tuple(len(k) - degree - 1 for k in self.knots)
+        self.n_dofs = self.ncp[0] * self.ncp[1] * self.ncp[2]
+
+    def transfer_matrix(self, points: np.ndarray, n_fields: int = 1,
+                        tol: float = 1e-12, dtype=np.float64) -> ExtractionOperator:
+        """Extraction M: rows = spline basis evaluated at the given points.
+        Column ordering is row-major (i·ncp_y + j)·ncp_z + k — the layout
+        StencilOperator3D expects."""
+        points = np.asarray(points, dtype=np.float64)
+        npts = len(points)
+        p = self.degree
+        inside = np.ones(npts, dtype=bool)
+        for d in range(3):
+            inside &= (points[:, d] >= self.lo[d] - tol) & (
+                points[:, d] <= self.hi[d] + tol
+            )
+        sv = []
+        for d in range(3):
+            xc = np.clip(points[:, d], self.lo[d], self.hi[d])
+            sv.append(basis_values(self.knots[d], p, xc))
+        (sx, vx), (sy, vy), (sz, vz) = sv
+        m = p + 1
+        wijk = vx[:, :, None, None] * vy[:, None, :, None] \
+            * vz[:, None, None, :]                          # (np, m, m, m)
+        ix = sx[:, None] - p + np.arange(m)
+        iy = sy[:, None] - p + np.arange(m)
+        iz = sz[:, None] - p + np.arange(m)
+        cols = (
+            (ix[:, :, None, None] * self.ncp[1] + iy[:, None, :, None])
+            * self.ncp[2] + iz[:, None, None, :]
+        ).reshape(npts, -1)
+        w = wijk.reshape(npts, -1)
+        rows = np.repeat(np.arange(npts), m ** 3)
+        keep = (np.abs(w).reshape(-1) > 1e-14) & np.repeat(inside, m ** 3)
+        return ExtractionOperator.from_triples(
+            rows[keep], cols.reshape(-1)[keep], w.reshape(-1)[keep],
+            n_fg_nodes=npts, n_bg_nodes=self.n_dofs, n_fields=n_fields,
+            dtype=dtype,
+        )

@@ -385,3 +385,102 @@ def immersed_cube_problem(
         dtype=dtype,
     )
     return mesh_f, M
+
+
+def immersed_square_bspline_problem(
+    n_fg: int,
+    n_bg: int,
+    L: float = 2.0,
+    angle: float = 30.0,
+    half_width: float = 0.6,
+    fg_degree: int = 2,
+    bg_degree: int = 2,
+    n_fields: int = 1,
+    dtype=np.float64,
+):
+    """Synthetic analog of the reference's *Quadratic* square workloads: a
+    rotated immersed square in a P2 simplex foreground, extracted to a
+    C1 tensor-product B-spline background (the space the reference's
+    Quadratic ExOp CSVs encode — their weights are exactly such basis
+    values). Unlike the CSV artifacts, the control net here is a KNOWN
+    lattice, which is what lets 4th-order (biharmonic) solves run on device
+    through the stencil-probe + multigrid path.
+
+    Returns (mesh_f, M, lattice_shape): lattice_shape is the control-net
+    shape (ncp_x, ncp_y) in the row-major ordering StencilOperator2D
+    expects. ncp = n_bg + bg_degree; pick n_bg = 2^m - bg_degree + 1 to get
+    a 2^m+1 net that coarsens all the way down.
+    """
+    from iifea_tpu.config import auto_platform
+    from iifea_tpu.mesh.bspline import BSplineSpace2D
+    from iifea_tpu.mesh.core import FunctionSpace
+
+    auto_platform(2 * n_fg * n_fg)
+    mesh_f = rectangle_mesh((-L / 2, -L / 2), (L / 2, L / 2), n_fg, n_fg)
+    cent = mesh_f.cell_coords.mean(1)
+    a = np.deg2rad(angle)
+    ca, sa = np.cos(a), np.sin(a)
+    u = ca * cent[:, 0] + sa * cent[:, 1]
+    v = -sa * cent[:, 0] + ca * cent[:, 1]
+    material = np.where(
+        (np.abs(u) <= half_width) & (np.abs(v) <= half_width), 2, 1
+    ).astype(np.int32)
+    mesh_f = Mesh(mesh_f.coords, mesh_f.cells, material)
+
+    space = BSplineSpace2D(
+        bg_degree, (n_bg, n_bg), (-L / 2, -L / 2), (L / 2, L / 2)
+    )
+    Vf = FunctionSpace(mesh_f, degree=fg_degree, n_fields=1)
+    M = space.transfer_matrix(
+        np.asarray(Vf.node_coords), n_fields=n_fields, dtype=dtype
+    )
+    return mesh_f, M, space.ncp
+
+
+def immersed_cube_bspline_problem(
+    n_fg: int,
+    n_bg: int,
+    L: float = 2.0,
+    angle: float = 30.0,
+    half_width: float = 0.6,
+    fg_degree: int = 2,
+    bg_degree: int = 2,
+    n_fields: int = 1,
+    dtype=np.float64,
+):
+    """3D analog of immersed_square_bspline_problem: a rotated immersed cube
+    in a P2 tet foreground, extracted to a C1 tensor-product B-spline box
+    background. Fills the gap left by the stripped cube-Quadratic ExOp CSVs
+    in this checkout (reference biharmonic --dim 3, biharmonic.py:230-231):
+    a runtime-generated quadratic background at ANY refinement level.
+
+    Returns (mesh_f, M, lattice_shape) with lattice_shape = ncp.
+    """
+    from iifea_tpu.config import auto_platform
+    from iifea_tpu.mesh.bspline import BSplineSpace3D
+    from iifea_tpu.mesh.core import FunctionSpace
+
+    auto_platform(6 * n_fg ** 3)
+    mesh_f = box_mesh((-L / 2,) * 3, (L / 2,) * 3, n_fg, n_fg, n_fg)
+    cent = mesh_f.cell_coords.mean(1)
+    a = np.deg2rad(angle)
+    ca, sa = np.cos(a), np.sin(a)
+    u = ca * cent[:, 0] + sa * cent[:, 1]
+    v = -sa * cent[:, 0] + ca * cent[:, 1]
+    w = cent[:, 2]
+    u2 = ca * u + sa * w
+    w2 = -sa * u + ca * w
+    material = np.where(
+        (np.abs(u2) <= half_width) & (np.abs(v) <= half_width)
+        & (np.abs(w2) <= half_width), 2, 1
+    ).astype(np.int32)
+    mesh_f = Mesh(mesh_f.coords, mesh_f.cells, material)
+
+    space = BSplineSpace3D(
+        bg_degree, (n_bg,) * 3, (-L / 2,) * 3, (L / 2,) * 3
+    )
+    Vf = FunctionSpace(mesh_f, degree=fg_degree, n_fields=1)
+    M = space.transfer_matrix(
+        np.asarray(Vf.node_coords), n_fields=n_fields, dtype=dtype
+    )
+    return mesh_f, M, space.ncp

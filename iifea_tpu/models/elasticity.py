@@ -230,3 +230,195 @@ class ElasticityProblem:
         num = integrate(self.cell_dom, err, u_f, n_fields=2)
         den = integrate(self.cell_dom, ref, u_f, n_fields=2)
         return float(jnp.sqrt(num / den))
+
+
+# -- synthetic immersed elasticity (manufactured solution) ---------------------
+
+
+def sigma_nd(lam, mu, dim):
+    """Standard isotropic σ = 2 μ ε + λ tr(ε) I in any dimension (the
+    synthetic workload uses the textbook λ, not the reference demo's
+    K-for-λ call quirk documented above)."""
+
+    def sigma(grad_u):
+        eps = 0.5 * (grad_u + grad_u.T)
+        return 2.0 * mu * eps + lam * jnp.trace(eps) * jnp.eye(dim)
+
+    return sigma
+
+
+def u_exact_elasticity(dim: int):
+    """Smooth manufactured displacement field (divergence-free-ish mix so
+    both μ and λ terms are exercised)."""
+    if dim == 2:
+        def u_ex(x):
+            return jnp.array([
+                jnp.sin(jnp.pi * x[0]) * jnp.cos(jnp.pi * x[1]),
+                jnp.cos(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1]) * 0.5,
+            ])
+    else:
+        def u_ex(x):
+            return jnp.array([
+                jnp.sin(jnp.pi * x[0]) * jnp.cos(jnp.pi * x[1]) * x[2],
+                jnp.cos(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[2]) * 0.5,
+                jnp.sin(jnp.pi * x[1]) * jnp.cos(jnp.pi * x[2]) * 0.25,
+            ])
+    return u_ex
+
+
+def body_force_of(u_ex, sigma):
+    """f = −div σ(u_exact) by nested autodiff — the UFL-symbolic-source
+    replacement (cf. models/poisson.py source_fn)."""
+
+    def sig_at(x):
+        return sigma(jax.jacobian(u_ex)(x))
+
+    def f(x):
+        J = jax.jacfwd(sig_at)(x)          # J[i, j, d] = ∂σ_ij/∂x_d
+        return -jnp.einsum("ijj->i", J)
+
+    return f
+
+
+class ImmersedElasticityProblem:
+    """Vector elasticity on an immersed block with full-vector Nitsche
+    Dirichlet BCs and a manufactured solution.
+
+    The synthetic-lattice analog of the reference's vector workload
+    (linear_elasticity.py): same operator class (2-/3-field symmetric
+    elliptic system projected through M), but posed on the generated
+    immersed square/cube (mesh/generators.py) whose background IS a known
+    lattice — which is what lets the linear solve run on device through the
+    block geometric multigrid (solve_ksp pc='mg', n_fields=dim) instead of
+    host LU. Weak form (symmetric Nitsche):
+
+      ∫ σ(u):∇v dx − ∫_Γ (σ(u)n)·v dS − sgn ∫_Γ (σ(v)n)·(u−g) dS
+        + β h⁻¹ ∫_Γ (u−g)·v dS − ∫ f·v dx
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int = 1,
+        E: float = 1.0,
+        nu: float = 0.3,
+        sym: bool = True,
+        beta_value: float = 20.0,
+        block_id: int = 2,
+        surf_id: int = 3,
+        u_exact=None,
+        dtype=None,
+    ):
+        if dtype is None:
+            dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        dim = mesh.dim
+        self.mesh = mesh
+        self.space = FunctionSpace(mesh, degree=k, n_fields=dim)
+        lam = (E * nu) / ((1 + nu) * (1 - 2 * nu))
+        mu = E / (2 * (1 + nu))
+        self.lam, self.mu = lam, mu
+        self.sgn = 1.0 if sym else -1.0
+        # coercivity needs β ≳ C·(2μ+λ); scale the user constant by it
+        self.beta = float(beta_value) * (2 * mu + lam)
+        self.sigma = sigma_nd(lam, mu, dim)
+        self.u_ex = u_exact or u_exact_elasticity(dim)
+        self.f = body_force_of(self.u_ex, self.sigma)
+
+        cells = np.where(mesh.material == block_id)[0]
+        fclass = mesh.classify_facets_by_material()
+        facets = np.where(fclass == surf_id)[0]
+        self.cell_dom = build_cell_domain(self.space, cells, k, dtype=dtype)
+        self.facet_dom = build_facet_domain(self.space, facets, k, dtype=dtype)
+        self.form = Form(
+            self.space,
+            [
+                Term(self.cell_dom, self._cell_kernel()),
+                Term(self.facet_dom, self._nitsche_kernel()),
+            ],
+        )
+
+    def _cell_kernel(self):
+        sigma, f = self.sigma, self.f
+
+        def kern(u_loc, aux_loc, ctx, params):
+            gu = jnp.einsum("qbd,bf->qfd", ctx.gphi, u_loc)
+            sig = jax.vmap(sigma)(gu)                       # (nq, dim, dim)
+            r = jnp.einsum("q,qfd,qbd->bf", ctx.w, sig, ctx.gphi)
+            fx = jax.vmap(f)(ctx.x)                         # (nq, dim)
+            return r - jnp.einsum("q,qf,qb->bf", ctx.w, fx, ctx.phi)
+
+        return kern
+
+    def _nitsche_kernel(self):
+        sigma, sgn, beta = self.sigma, self.sgn, self.beta
+        lam, mu, u_ex = self.lam, self.mu, self.u_ex
+
+        def kern(u_loc, aux_loc, ctx, params):
+            n = ctx.n
+            gu = jnp.einsum("qbd,bf->qfd", ctx.gphi, u_loc)
+            sig_u = jax.vmap(sigma)(gu)
+            tr_u = jnp.einsum("qid,d->qi", sig_u, n)        # σ(u)n (nq, dim)
+            uq = jnp.einsum("qb,bf->qf", ctx.phi, u_loc)    # u (nq, dim)
+            gq = jax.vmap(u_ex)(ctx.x)                      # g (nq, dim)
+            e = uq - gq                                     # u − g
+
+            # σ(v)n for v = φ_b e_f contracted against a vector e_i:
+            #   (σ(v)n)_i = μ(δ_if ∇φ_b·n + n_f ∂_i φ_b) + λ ∂_f φ_b n_i
+            # ⇒ Σ_i (σ(v)n)_i e_i
+            #   = μ[(∇φ_b·n) e_f + (∇φ_b·e) n_f] + λ (∇φ_b)_f (n·e)
+            gphin = jnp.einsum("qbd,d->qb", ctx.gphi, n)    # ∇φ·n
+            gphie = jnp.einsum("qbd,qd->qb", ctx.gphi, e)   # ∇φ·e
+            ne = jnp.einsum("d,qd->q", n, e)                # n·e
+            sigv_e = (
+                mu * (jnp.einsum("qb,qf->qbf", gphin, e)
+                      + jnp.einsum("qb,f->qbf", gphie, n))
+                + lam * jnp.einsum("qbf,q->qbf", ctx.gphi, ne)
+            )
+
+            w = ctx.w
+            # consistency: −∫ (σ(u)n)·v
+            r = -jnp.einsum("q,qf,qb->bf", w, tr_u, ctx.phi)
+            # adjoint consistency: −sgn ∫ (σ(v)n)·(u − g)
+            r = r - sgn * jnp.einsum("q,qbf->bf", w, sigv_e)
+            # penalty: β h⁻¹ ∫ (u − g)·v
+            r = r + (beta / ctx.h) * jnp.einsum(
+                "q,qf,qb->bf", w, e, ctx.phi
+            )
+            return r
+
+        return kern
+
+    # -- error norms ------------------------------------------------------------
+
+    def error_norms(self, u_f: jnp.ndarray):
+        u_ex = self.u_ex
+        ju_ex = jax.jacobian(u_ex)
+
+        def e_sq(u_loc, aux_loc, ctx, params):
+            uq = jnp.einsum("qb,bf->qf", ctx.phi, u_loc)
+            eq = uq - jax.vmap(u_ex)(ctx.x)
+            return jnp.einsum("q,qf->", ctx.w, eq**2)
+
+        def ge_sq(u_loc, aux_loc, ctx, params):
+            gu = jnp.einsum("qbd,bf->qfd", ctx.gphi, u_loc)
+            ge = gu - jax.vmap(ju_ex)(ctx.x)
+            return jnp.einsum("q,qfd->", ctx.w, ge**2)
+
+        def ex_sq(u_loc, aux_loc, ctx, params):
+            g = jax.vmap(u_ex)(ctx.x)
+            return jnp.einsum("q,qf->", ctx.w, g**2)
+
+        def gex_sq(u_loc, aux_loc, ctx, params):
+            g = jax.vmap(ju_ex)(ctx.x)
+            return jnp.einsum("q,qfd->", ctx.w, g**2)
+
+        cd = self.cell_dom
+        nf = self.space.n_fields
+        nL2 = integrate(cd, e_sq, u_f, n_fields=nf)
+        nH10 = integrate(cd, ge_sq, u_f, n_fields=nf)
+        L2 = integrate(cd, ex_sq, u_f, n_fields=nf)
+        H10 = integrate(cd, gex_sq, u_f, n_fields=nf)
+        return {
+            "L2": float(jnp.sqrt(nL2 / L2)),
+            "H10": float(jnp.sqrt(nH10 / H10)),
+        }

@@ -75,7 +75,7 @@ def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
 
 
 def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
-              n_fields=1):
+              n_fields=1, stencil_radius=2):
     """Stencil-probe the projected operator and MG-precondition the Krylov
     solve (the 'mg' pc): the bench.py fast path as a library feature.
 
@@ -110,7 +110,7 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
             )
         S = jax.jit(
             lambda A_: StencilOperatorBlock2D.probe_multi(
-                A_.mv_multi, shape, n_fields=n_fields, radius=2,
+                A_.mv_multi, shape, n_fields=n_fields, radius=stencil_radius,
                 dtype=b.dtype,
             )
         )(A)
@@ -162,7 +162,11 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
 
     op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
     S = None
-    if A.trim_mask is None and A.form.space is not None:
+    if (A.trim_mask is None and A.form.space is not None
+            and stencil_radius == 2):
+        # the binned/window reducers assume the degree-1 simplex lattice
+        # (radius-2) geometry; other radii (e.g. 3 for quadratic B-spline
+        # backgrounds) take the general colored probe
         # gather-free binned probe (ops/lattice_bin.py in 2D, cell-window
         # congruence assembly in 3D) when the term geometry permits; falls
         # back to the general probe otherwise
@@ -193,7 +197,7 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
     if S is None:
         S = jax.jit(
             lambda A_: op.probe_multi(
-                A_.mv_multi, shape, radius=2, dtype=b.dtype
+                A_.mv_multi, shape, radius=stencil_radius, dtype=b.dtype
             )
         )(A)
     mg = (
@@ -239,6 +243,7 @@ def solve_ksp(
     monitor: bool = True,
     lattice_shape: tuple | None = None,
     n_fields: int = 1,
+    stencil_radius: int = 2,
 ):
     """Solve A u = b on the background space. Returns (u, info|None)."""
     method = method or "gmres"
@@ -268,7 +273,8 @@ def solve_ksp(
         if lattice_shape is None:
             raise ValueError("pc='mg' requires lattice_shape=(nx+1, ny+1[, nz+1])")
         x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol,
-                            max_it, n_fields=n_fields)
+                            max_it, n_fields=n_fields,
+                            stencil_radius=stencil_radius)
         if monitor:
             print(
                 f"Converged in {int(info.iters)} iterations. "

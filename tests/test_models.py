@@ -160,3 +160,98 @@ def test_shell_energy_hessian_symmetry():
     blocks = prob.form.jacobian_blocks(u, params={"t": jnp.asarray(0.0)})
     K = np.asarray(blocks[0])
     assert np.allclose(K, np.swapaxes(K, 0, 1), atol=1e-8 * np.abs(K).max())
+
+
+# -- synthetic on-device iterative product paths (round 3: SURVEY N5) ----------
+
+
+def test_immersed_elasticity_mg_matches_direct():
+    """Synthetic vector elasticity: block-MG CG on the lattice background
+    must reproduce the host-LU answer (the on-device product path for the
+    vector workload, linear_elasticity.py:299 analog)."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+
+    n, n_bg = 16, 8
+    mesh_f, M = immersed_square_problem(n_fg=n, n_bg=n_bg, degree=1,
+                                        n_fields=2)
+    prob = ImmersedElasticityProblem(mesh_f, k=1)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    u_d, _ = solve_ksp(A, b, method="direct", monitor=False)
+    u_m, info = solve_ksp(
+        A, b, method="cg", pc="mg", rtol=1e-11,
+        lattice_shape=(n_bg + 1, n_bg + 1), n_fields=2, monitor=False,
+    )
+    nd = prob.error_norms(M.mv(u_d))
+    nm = prob.error_norms(M.mv(u_m))
+    assert abs(nd["L2"] - nm["L2"]) < 1e-8 * nd["L2"]
+    assert abs(nd["H10"] - nm["H10"]) < 1e-8 * nd["H10"]
+
+
+def test_immersed_elasticity_convergence():
+    """Manufactured-solution displacement error halves ~quadratically in L2
+    under refinement (P1 fg, P1 lattice bg)."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+
+    errs = []
+    for n in (16, 32):
+        mesh_f, M = immersed_square_problem(n_fg=n, n_bg=n // 2, degree=1,
+                                            n_fields=2)
+        prob = ImmersedElasticityProblem(mesh_f, k=1)
+        A, b = assemble_background_system(
+            prob.form, jnp.zeros(prob.space.n_dofs), M
+        )
+        u, _ = solve_ksp(A, b, method="cg", pc="mg", rtol=1e-10,
+                         lattice_shape=(n // 2 + 1, n // 2 + 1),
+                         n_fields=2, monitor=False)
+        errs.append(prob.error_norms(M.mv(u))["L2"])
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.5, (errs, rate)
+
+
+def test_bspline_biharmonic_radius3_probe_and_mg():
+    """Quadratic B-spline background: the projected 4th-order operator has
+    stencil radius 3 (straddling fg cells couple control points 3 apart);
+    the radius-3 probe must be exact and MG-GMRES must match host LU."""
+    from iifea_tpu.mesh.generators import immersed_square_bspline_problem
+    from iifea_tpu.models.biharmonic import BiharmonicProblem
+    from iifea_tpu.ops.stencil import StencilOperator2D
+
+    n_bg = 15  # ncp = 17
+    mesh_f, M, ncp = immersed_square_bspline_problem(n_fg=32, n_bg=n_bg)
+    prob = BiharmonicProblem(mesh_f)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    S = StencilOperator2D.probe_multi(A.mv_multi, ncp, radius=3,
+                                      dtype=jnp.float64)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(M.n_bg_dofs))
+    ax = A.mv(x)
+    assert float(jnp.linalg.norm(S.mv_ref(x) - ax)) < 1e-12 * float(
+        jnp.linalg.norm(ax)
+    )
+
+    u_d, _ = solve_ksp(A, b, method="direct", monitor=False)
+    u_m, _ = solve_ksp(A, b, method="gmres", pc="mg", rtol=1e-10,
+                       lattice_shape=ncp, stencil_radius=3, monitor=False)
+    nd = prob.error_norms(M.mv(u_d))
+    nm = prob.error_norms(M.mv(u_m))
+    # both land on the same discrete solution up to the h⁻⁴-conditioned
+    # solve tolerance (≈0.5% of the 3e-5 discretization error here)
+    assert abs(nd["L2_rel"] - nm["L2_rel"]) < 2e-2 * nd["L2_rel"]
+
+
+def test_cube_bspline_partition_of_unity():
+    """3D B-spline extraction rows sum to 1 for points inside the box
+    (spline partition of unity == the interpolation-consistency property
+    the reference CSVs satisfy)."""
+    from iifea_tpu.mesh.generators import immersed_cube_bspline_problem
+
+    mesh_f, M, ncp = immersed_cube_bspline_problem(n_fg=8, n_bg=3)
+    ones = jnp.ones(M.n_bg_dofs)
+    r = np.asarray(M.mv(ones))
+    assert np.allclose(r, 1.0, atol=1e-12)
+    assert ncp == (5, 5, 5)
