@@ -87,34 +87,28 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         StencilMultigrid,
         StencilMultigrid3D,
         StencilMultigridBlock,
+        StencilMultigridBlock3D,
     )
     from iifea_tpu.ops.stencil import (
         StencilOperator2D,
         StencilOperator3D,
         StencilOperatorBlock2D,
+        StencilOperatorBlock3D,
     )
 
     shape = tuple(lattice_shape)
     if n_fields > 1:
-        if len(shape) != 2:
-            # the 3D block primitives exist (StencilOperatorBlock3D +
-            # StencilMultigridBlock3D, validated on well-posed operators)
-            # but no reference workload produces a 3D vector lattice solve,
-            # and raw immersed operators would additionally need the
-            # null-mode deflation below generalized to 3D — keep the
-            # explicit guard until a consumer exists.
-            raise NotImplementedError(
-                "pc='mg' with n_fields>1 is wired for 2D lattices; "
-                "3D block primitives: ops.stencil.StencilOperatorBlock3D, "
-                "ops.multigrid.StencilMultigridBlock3D"
-            )
+        opB = (StencilOperatorBlock2D if len(shape) == 2
+               else StencilOperatorBlock3D)
+        mgB = (StencilMultigridBlock if len(shape) == 2
+               else StencilMultigridBlock3D)
         S = jax.jit(
-            lambda A_: StencilOperatorBlock2D.probe_multi(
+            lambda A_: opB.probe_multi(
                 A_.mv_multi, shape, n_fields=n_fields, radius=stencil_radius,
                 dtype=b.dtype,
             )
         )(A)
-        mg = StencilMultigridBlock(S)
+        mg = mgB(S)
 
         # Field-constant null-mode deflation. Enclosed-flow NS (TG class:
         # velocity Dirichlet everywhere, no pressure BC) carries an exact

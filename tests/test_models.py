@@ -255,3 +255,28 @@ def test_cube_bspline_partition_of_unity():
     r = np.asarray(M.mv(ones))
     assert np.allclose(r, 1.0, atol=1e-12)
     assert ncp == (5, 5, 5)
+
+
+def test_immersed_elasticity_3d_block_mg():
+    """3D vector lattice solve through pc='mg' (the former ksp.py guard):
+    block stencil probe + StencilMultigridBlock3D + field-constant
+    deflation must reproduce host LU on a raw immersed operator."""
+    from iifea_tpu.mesh.generators import immersed_cube_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+
+    n, n_bg = 12, 6
+    mesh_f, M = immersed_cube_problem(n_fg=n, n_bg=n_bg, degree=1,
+                                      n_fields=3)
+    prob = ImmersedElasticityProblem(mesh_f, k=1)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    u_d, _ = solve_ksp(A, b, method="direct", monitor=False)
+    u_m, info = solve_ksp(
+        A, b, method="cg", pc="mg", rtol=1e-10,
+        lattice_shape=(n_bg + 1,) * 3, n_fields=3, monitor=False,
+    )
+    nd = prob.error_norms(M.mv(u_d))
+    nm = prob.error_norms(M.mv(u_m))
+    assert abs(nd["L2"] - nm["L2"]) < 1e-8 * nd["L2"]
+    assert int(info.iters) < 60
