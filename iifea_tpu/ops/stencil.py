@@ -707,3 +707,24 @@ class StencilOperatorBlock3D:
             den = float(jnp.linalg.norm(y_ref)) or 1.0
             worst = max(worst, num / den)
         return worst
+
+
+def dirichlet_laplace_3d(shape, dtype=jnp.float64) -> StencilOperator3D:
+    """Analytic 7-point finite-difference Dirichlet Laplacian on a box
+    lattice, with identity rows on the boundary layer.
+
+    The operator maps the subspace {x : x|boundary = 0} to itself, and on
+    that subspace it is the SPD interior Laplacian — so CG with a zero
+    initial guess and a boundary-zero rhs is well-posed. Used by the driver
+    multichip dryrun and the sharding tests to exercise the sharded stencil
+    path at scales where probing an element operator is unaffordable on the
+    virtual CPU mesh.
+    """
+    nx1, ny1, nz1 = shape
+    C = np.zeros((27, nx1, ny1, nz1), dtype=np.dtype(dtype))
+    interior = np.zeros(shape, dtype=bool)
+    interior[1:-1, 1:-1, 1:-1] = True
+    C[13] = np.where(interior, 6.0, 1.0)      # center: (1,1,1) offset
+    for k in (4, 22, 10, 16, 12, 14):         # the six axis neighbors
+        C[k] = np.where(interior, -1.0, 0.0)
+    return StencilOperator3D(jnp.asarray(C), shape, radius=1)

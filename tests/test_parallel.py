@@ -180,3 +180,53 @@ def test_sharded_bench_refine_matches_single():
     scale = max(float(jnp.abs(x_1).max()), 1.0)
     assert np.allclose(np.asarray(x_sh)[mask], np.asarray(x_1)[mask],
                        atol=1e-7 * scale)
+
+
+@needs_devices
+def test_sharded_stencil3d_mv_matches_single():
+    """3D slab-sharded stencil apply == single-device mv (raw immersed
+    operator from the synthetic cube)."""
+    from iifea_tpu.mesh.generators import immersed_cube_problem
+    from iifea_tpu.ops.stencil import StencilOperator3D
+    from iifea_tpu.parallel.stencil import ShardedStencil3D
+
+    n_bg = 8
+    mesh_f, M = immersed_cube_problem(n_fg=16, n_bg=n_bg)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+    S = StencilOperator3D.probe_multi(
+        A.mv_multi, (n_bg + 1,) * 3, radius=2, dtype=jnp.float64
+    )
+    Ssh = ShardedStencil3D(S, make_device_mesh(8))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(S.shape[0] * S.shape[1] * S.shape[2]))
+    y_ref = np.asarray(S.mv(x))
+    y_sh = np.asarray(Ssh.mv(x))
+    assert np.allclose(y_sh, y_ref, atol=1e-12 * max(np.abs(y_ref).max(), 1))
+
+
+@needs_devices
+def test_sharded_stencil_block2d_mv_matches_single():
+    """Block (vector) row-sharded stencil apply == single-device mv
+    (synthetic immersed elasticity operator, n_fields=2)."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+    from iifea_tpu.ops.stencil import StencilOperatorBlock2D
+    from iifea_tpu.parallel.stencil import ShardedStencilBlock2D
+
+    n_bg = 12
+    mesh_f, M = immersed_square_problem(n_fg=24, n_bg=n_bg, n_fields=2)
+    prob = ImmersedElasticityProblem(mesh_f, k=1)
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+    S = StencilOperatorBlock2D.probe_multi(
+        A.mv_multi, (n_bg + 1, n_bg + 1), n_fields=2, radius=2,
+        dtype=jnp.float64,
+    )
+    Ssh = ShardedStencilBlock2D(S, make_device_mesh(8))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(S.n))
+    y_ref = np.asarray(S.mv(x))
+    y_sh = np.asarray(Ssh.mv(x))
+    assert np.allclose(y_sh, y_ref, atol=1e-12 * max(np.abs(y_ref).max(), 1))
