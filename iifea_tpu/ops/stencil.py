@@ -35,6 +35,27 @@ import jax.numpy as jnp
 from iifea_tpu.ops import pallas_stencil as ps
 
 
+def chunked_mv_multi(matvec_multi, X, chunk=None):
+    """Apply a stacked multi-RHS matvec in bounded-memory column chunks.
+
+    The general projected apply gathers ~(dofs-per-element × n_elem) floats
+    per probe column; at (2r+1)³ = 343 colors on a million-element quadratic
+    foreground that is hundreds of GB live at once (observed: a 223 GB
+    allocation on the 3D biharmonic ref-2 probe). ``lax.map`` over fixed-size
+    column chunks bounds the workspace to a few applies while staying one
+    traced graph.
+    """
+    k, n = X.shape
+    if chunk is None or chunk >= k:
+        return matvec_multi(X)
+    chunk = max(int(chunk), 1)
+    pad = (-k) % chunk
+    Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+    Y = jax.lax.map(matvec_multi, Xp.reshape(-1, chunk, n))
+    Y = Y.reshape(-1, Y.shape[-1])
+    return Y[:k] if pad else Y
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilOperator2D:
     """A_b in variable-coefficient stencil form on an (nx+1, ny+1) lattice.
@@ -81,7 +102,8 @@ class StencilOperator2D:
 
     @staticmethod
     def probe_multi(matvec_multi, shape: tuple[int, int], radius: int = 2,
-                    dtype=jnp.float32) -> "StencilOperator2D":
+                    dtype=jnp.float32, chunk: int | None = None,
+                    ) -> "StencilOperator2D":
         """Like probe(), but all (2r+1)² indicator combs go through ONE
         stacked multi-RHS operator application (k, n) — amortizing the slow
         general path's per-index gather latency across the probe columns.
@@ -109,7 +131,7 @@ class StencilOperator2D:
         )                                                       # (m², n)
         # the operator may compute in a wider dtype (e.g. f64 extraction
         # weights promoting an f32 probe): coefficients honor `dtype`
-        Y = matvec_multi(X).astype(dtype)                       # (m², n)
+        Y = chunked_mv_multi(matvec_multi, X, chunk).astype(dtype)  # (m², n)
         return StencilOperator2D.from_probe_y(Y, shape, radius, dtype)
 
     @staticmethod
@@ -309,7 +331,8 @@ class StencilOperatorBlock2D:
 
     @staticmethod
     def probe_multi(matvec_multi, shape, n_fields: int, radius: int = 2,
-                    dtype=jnp.float32) -> "StencilOperatorBlock2D":
+                    dtype=jnp.float32, chunk: int | None = None,
+                    ) -> "StencilOperatorBlock2D":
         nx1, ny1 = shape
         nn = nx1 * ny1
         r = radius
@@ -331,7 +354,7 @@ class StencilOperatorBlock2D:
             ],
             axis=0,
         )                                      # (nF·m², nF·nn)
-        Y = matvec_multi(X).astype(dtype)
+        Y = chunked_mv_multi(matvec_multi, X, chunk).astype(dtype)
 
         nxp = -(-nx1 // m) * m
         nyp = -(-ny1 // m) * m
@@ -491,7 +514,8 @@ class StencilOperator3D:
 
     @staticmethod
     def probe_multi(matvec_multi, shape, radius: int = 2,
-                    dtype=jnp.float32) -> "StencilOperator3D":
+                    dtype=jnp.float32, chunk: int | None = None,
+                    ) -> "StencilOperator3D":
         """Extract the (2r+1)³ stencil by one stacked (m³, n) probe."""
         nx1, ny1, nz1 = shape
         r = radius
@@ -509,7 +533,7 @@ class StencilOperator3D:
             ],
             axis=0,
         )                                                       # (m³, n)
-        Y = matvec_multi(X).astype(dtype)                       # (m³, n)
+        Y = chunked_mv_multi(matvec_multi, X, chunk).astype(dtype)  # (m³, n)
         C = _distribute_probe3(Y, shape, r)
         return StencilOperator3D(C, shape, r)
 
@@ -589,7 +613,8 @@ class StencilOperatorBlock3D:
 
     @staticmethod
     def probe_multi(matvec_multi, shape, n_fields: int, radius: int = 2,
-                    dtype=jnp.float32) -> "StencilOperatorBlock3D":
+                    dtype=jnp.float32, chunk: int | None = None,
+                    ) -> "StencilOperatorBlock3D":
         """Extract the nF² (2r+1)³ stencils by one stacked (nF·m³, n)
         probe: field indicator × lattice phase colors (same disjoint-
         neighborhood argument as the 2D block probe)."""
@@ -618,7 +643,7 @@ class StencilOperatorBlock3D:
             ],
             axis=0,
         )                                      # (nF·m³, nF·nn)
-        Y = matvec_multi(X).astype(dtype)
+        Y = chunked_mv_multi(matvec_multi, X, chunk).astype(dtype)
         C = jnp.stack(
             [
                 jnp.stack(

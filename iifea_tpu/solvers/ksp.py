@@ -61,6 +61,28 @@ def _binned_reducers_cached(form, M, shape, dtype):
     return None if out is _BINNED_FAIL else out
 
 
+def _probe_chunk(A, dtype) -> int | None:
+    """Probe columns per chunk so the stacked mv_multi's dominant live
+    temporary — the (k, ne, nE) element gather — stays under
+    IIFEA_PROBE_BUDGET_MB (default 8192), counting ~4 gather-sized temps in
+    flight per column. A radius-3 probe in 3D is 343 columns; unchunked on a
+    ~1.6M-element quadratic foreground that is a >200 GB allocation."""
+    import os
+
+    try:
+        terms = A.form.terms
+    except AttributeError:
+        return None
+    per_col = 0
+    for (dom, _) in terms:
+        ne, nE = dom.eldofsT.shape
+        per_col = max(per_col, ne * nE)
+    if per_col == 0:
+        return None
+    budget = float(os.environ.get("IIFEA_PROBE_BUDGET_MB", 8192)) * 2 ** 20
+    return max(int(budget // (4 * per_col * np.dtype(dtype).itemsize)), 1)
+
+
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
 def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     minv = precond.jacobi(diag) if pc == "jacobi" else None
@@ -102,10 +124,11 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
                else StencilOperatorBlock3D)
         mgB = (StencilMultigridBlock if len(shape) == 2
                else StencilMultigridBlock3D)
+        pchunk = _probe_chunk(A, b.dtype)
         S = jax.jit(
             lambda A_: opB.probe_multi(
                 A_.mv_multi, shape, n_fields=n_fields, radius=stencil_radius,
-                dtype=b.dtype,
+                dtype=b.dtype, chunk=pchunk,
             )
         )(A)
         mg = mgB(S)
@@ -189,9 +212,11 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
 
             S = _probe_binned(reducers, A.blocks)
     if S is None:
+        pchunk = _probe_chunk(A, b.dtype)
         S = jax.jit(
             lambda A_: op.probe_multi(
-                A_.mv_multi, shape, radius=stencil_radius, dtype=b.dtype
+                A_.mv_multi, shape, radius=stencil_radius, dtype=b.dtype,
+                chunk=pchunk,
             )
         )(A)
     mg = (

@@ -99,3 +99,44 @@ def test_block_stencil_matches_general_operator():
     err = S.verify(A.mv, n_checks=3)
     assert err < 1e-12, err
     assert np.allclose(np.asarray(S.diag()), np.asarray(A.diag()), atol=1e-12)
+
+
+def test_probe_multi_chunked_matches_unchunked():
+    """Chunked colored probing (bounded-memory lax.map over column chunks)
+    matches the single-shot stacked probe to FP reduction-order noise —
+    including a chunk size that does not divide the color count."""
+    from iifea_tpu.mesh.generators import immersed_cube_problem
+    from iifea_tpu.ops.stencil import StencilOperator3D
+
+    n_bg = 6
+    mesh_f, M = immersed_cube_problem(n_fg=10, n_bg=n_bg)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+
+    S0 = StencilOperator3D.probe_multi(
+        A.mv_multi, (n_bg + 1,) * 3, radius=2, dtype=jnp.float64
+    )
+    S7 = StencilOperator3D.probe_multi(
+        A.mv_multi, (n_bg + 1,) * 3, radius=2, dtype=jnp.float64, chunk=7
+    )
+    # 7 does not divide 125: exercises the zero-padded tail chunk
+    assert np.allclose(
+        np.asarray(S0.coeffs), np.asarray(S7.coeffs), atol=1e-13, rtol=0
+    )
+
+
+def test_probe_chunk_sizing():
+    from iifea_tpu.solvers.ksp import _probe_chunk
+
+    from iifea_tpu.mesh.generators import immersed_cube_problem
+
+    n_bg = 6
+    mesh_f, M = immersed_cube_problem(n_fg=10, n_bg=n_bg)
+    prob = PoissonProblem(mesh_f, k=1)
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+    c = _probe_chunk(A, jnp.float64)
+    assert c is not None and c >= 1
+    # tiny problem: the budget admits far more columns than any probe uses
+    assert c > 343
