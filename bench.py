@@ -164,6 +164,41 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
     _ = float(jnp.linalg.norm(x64))
     t_first = time.time() - t0
 
+    def _phase_traffic(S32, mg, bound, b64):
+        """Modeled compulsory traffic per phase, bytes (each operand read
+        once, each output written once — a lower bound; achieved GB/s vs the
+        measured ~392 GB/s stream roofline quantifies how far each phase sits
+        from speed-of-light, VERDICT r2 #10). The cg entry is per ITERATION:
+        one fine matvec (coefficient planes + 3 vector streams) plus one
+        V-cycle in which level l's planes are swept (nu_pre+nu_post+1) times
+        (pre/post smoothing + the restriction residual), plus ~6 CG-body
+        vector streams."""
+        def nb(tree):
+            return sum(
+                leaf.size * leaf.dtype.itemsize
+                for leaf in jax.tree_util.tree_leaves(tree)
+                if hasattr(leaf, "size")
+            )
+
+        def coeff_planes(S):
+            cp = getattr(S, "cp", None)
+            return cp if cp is not None else S.coeffs
+
+        nvec32 = S32.n * 4
+        lev = [nb(coeff_planes(S)) for S in mg.levels]
+        sweeps = mg.nu_pre + mg.nu_post + 1
+        vcycle = sum(lb * sweeps for lb in lev) + 8 * nvec32
+        return {
+            "assemble_df+rhs_df": (nb(solver.rhs_tables)
+                                   + nb(solver.JinvT_b) + nb(solver.wdetT_b)
+                                   + nb(bound[0]) + b64.size * 8),
+            "bind_facet": 2 * nb(bound[1]),
+            "probe": nb(bound) + nb(solver.reducers) + lev[0],
+            "mg_build": lev[0] + sum(lev[1:]),
+            "cg_per_iter": lev[0] + 3 * nvec32 + vcycle + 6 * nvec32,
+            "residual_df": nb(bound) + 10 * nvec32,
+        }
+
     if os.environ.get("IIFEA_BENCH_PHASES") and solver is not None:
         # per-phase wall clock. Each phase: drain the device queue (readback
         # of every prior output — block_until_ready does not reliably block
@@ -208,6 +243,26 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
         dx2, info2 = timed(
             "cg_pass2", lambda: solver._cg_fn(S32, mg, r32b, 1e-4), r32b)
         ph["cg2_iters"] = int(info2.iters)
+        # achieved bandwidth vs the stream roofline, per phase
+        roofline = float(os.environ.get("IIFEA_ROOFLINE_GBPS", 392.0))
+        traffic = _phase_traffic(S32, mg, bound, b64)
+        bw = {}
+        for name, nbytes in traffic.items():
+            if name == "cg_per_iter":
+                continue
+            t = ph.get(name)
+            if t:
+                bw[name] = round(nbytes / t / 1e9, 1)
+        for p, it in (("cg_pass1", "cg1_iters"), ("cg_pass2", "cg2_iters")):
+            if ph.get(p) and ph.get(it):
+                bw[p] = round(
+                    traffic["cg_per_iter"] * ph[it] / ph[p] / 1e9, 1
+                )
+        ph["gbps"] = bw
+        ph["gbps_roofline"] = roofline
+        ph["utilization"] = {
+            k: round(v / roofline, 3) for k, v in bw.items()
+        }
         print("phases:", json.dumps(
             {k: (round(v, 4) if isinstance(v, float) else v)
              for k, v in ph.items()}), file=sys.stderr)
