@@ -42,6 +42,15 @@ parser.add_argument('--b', dest='beta_val', default=5, help='Beta penalty')
 parser.add_argument('--a', dest='alpha_val', default=5, help='alpha penalty')
 parser.add_argument('--ft', dest='ft', default=1e-5,
                     help='cell volume filtering tolerance')
+parser.add_argument('--mms', dest='mms', default='reference',
+                    choices=('reference', 'steep'),
+                    help="manufactured solution: 'reference' is the "
+                         "reference's own cos(0.05 pi x + 0.1)... "
+                         "(biharmonic.py:39 — nearly flat: relative errors "
+                         "start ~1e-5, at the level of secondary floors, so "
+                         "convergence rates cannot show); 'steep' uses the "
+                         "reference's 3D-style wavelength-2 cosines in any "
+                         "dimension, exercising the actual asymptotic rate")
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"),
@@ -60,6 +69,16 @@ ref = args.ref
 symmetric = str2bool(args.symmetric)
 write_file = str2bool(args.wf)
 ft = float(args.ft)
+
+u_exact = None
+if args.mms == 'steep':
+    import jax.numpy as _jnp
+
+    def u_exact(x):
+        out = _jnp.cos(_jnp.pi * x[0] + 0.5)
+        for d in range(1, dim):
+            out = out * _jnp.cos(_jnp.pi * x[d] + 0.5)
+        return out
 
 lattice_shape = None
 if args.mesh_root == "synthetic":
@@ -84,6 +103,7 @@ if args.mesh_root == "synthetic":
     prob = BiharmonicProblem(
         mesh_f, sym=symmetric, beta_value=float(args.beta_val),
         alpha_value=float(args.alpha_val), filter_tol=ft,
+        u_exact=u_exact,
     )
 else:
     sub = 'square' if dim == 2 else 'cube'
@@ -94,6 +114,7 @@ else:
     prob = BiharmonicProblem(
         mesh_f, sym=symmetric, beta_value=float(args.beta_val),
         alpha_value=float(args.alpha_val), filter_tol=ft,
+        u_exact=u_exact,
     )
 
     M = ExtractionOperator.from_exop_csv(

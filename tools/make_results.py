@@ -182,8 +182,16 @@ def main():
              "--mesh-root synthetic: radius-3 stencil probe + geometric "
              "multigrid GMRES)",
         bih_syn, ["L2", "H1", "H2"], "L2 ~ h^2 (4th-order, k=2 splines)",
-        group=["dim"], extra_cols=("solver", "platform"),
+        group=["dim", "mms"], extra_cols=("solver", "platform"),
     )
+    if any(r.get("mms") == "steep" for r in bih_syn):
+        out.append(
+            "_mms=None rows use the reference's own 2D exact solution "
+            "(cos(0.05πx+0.1)…, nearly flat: relative errors start ~1e-5, "
+            "already at secondary-floor level, so rates cannot show); "
+            "mms=steep uses wavelength-2 cosines and exhibits the actual "
+            "asymptotic rate._\n"
+        )
 
     def _tg_table(rows, with_p0=False):
         hdr = (["ref", "L2u", "H1u", "L2p"]
