@@ -380,8 +380,10 @@ def run_workload(workload: str, n_bg: int, rtol: float, verbose=False):
         from iifea_tpu.mesh.generators import immersed_square_bspline_problem
         from iifea_tpu.models.biharmonic import BiharmonicProblem
 
+        # nested fg/bg grids: see demos/biharmonic.py — straddling grids
+        # inject an interpolation crime along bg knot lines
         mesh_f, M, lattice_shape = immersed_square_bspline_problem(
-            n_fg=2 * (n_bg + 1), n_bg=n_bg
+            n_fg=2 * n_bg, n_bg=n_bg
         )
         prob = BiharmonicProblem(mesh_f, sym=False, beta_value=5.0,
                                  alpha_value=5.0, filter_tol=1e-5)

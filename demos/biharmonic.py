@@ -96,9 +96,16 @@ if args.mesh_root == "synthetic":
     else:
         from iifea_tpu.mesh.generators import immersed_square_bspline_problem
 
+        # NESTED grids (n_fg = 2*n_bg, fg lines contain every bg knot): each
+        # fg cell sees ONE polynomial piece of the quadratic spline, so the
+        # P2 interpolation-based extraction reproduces the background space
+        # exactly. Straddling grids (2*(n_bg+1)) inject an O(h) H2 /
+        # O(h^2) L2 interpolation crime along knot lines that caps the
+        # observed rates at ~1 (diagnosed round 3; the reference's MORIS
+        # artifacts are nested by construction).
         n_bg = 2 ** (int(ref) + 4) - 1
         mesh_f, M, lattice_shape = immersed_square_bspline_problem(
-            n_fg=2 * (n_bg + 1), n_bg=n_bg
+            n_fg=2 * n_bg, n_bg=n_bg
         )
     prob = BiharmonicProblem(
         mesh_f, sym=symmetric, beta_value=float(args.beta_val),

@@ -410,6 +410,13 @@ def immersed_square_bspline_problem(
     shape (ncp_x, ncp_y) in the row-major ordering StencilOperator2D
     expects. ncp = n_bg + bg_degree; pick n_bg = 2^m - bg_degree + 1 to get
     a 2^m+1 net that coarsens all the way down.
+
+    Pick ``n_fg`` a MULTIPLE of ``n_bg`` (nested grids): then every fg cell
+    lies inside one knot span, the spline restricted there is a single
+    polynomial, and the P2 interpolation-based extraction reproduces the
+    background space exactly. Straddling grids interpolate across the
+    spline's C1 knot lines and inject an O(h) H2-norm interpolation crime
+    that caps 4th-order convergence rates at ~1 (measured, round 3).
     """
     from iifea_tpu.config import auto_platform
     from iifea_tpu.mesh.bspline import BSplineSpace2D

@@ -143,8 +143,10 @@ def main():
     bih = load("biharmonic")
     conv_section(
         out, "Biharmonic (demos/biharmonic.py)", bih,
-        ["L2", "H1", "H2"], "L2 ~ h^2, H2 ~ h (k=2 penalty method)",
-        group=["dim"]
+        ["L2", "H1", "H2"], "L2 ~ h^2, H2 ~ h (k=2 penalty method); "
+        "mms=steep rows (wavelength-2 cosines) show the chain's actual "
+        "asymptotic behavior — L2 rate ~3.4 on the reference artifacts",
+        group=["dim", "mms"]
     )
     if any(r.get("dim") == 2 and r.get("ref") == 5 for r in bih):
         out.append(

@@ -113,6 +113,20 @@ def elasticity(refs=(0, 1, 2, 3), refs_k2=(1, 2, 3, 4), lref=1):
             pats, extra={"k": 2, "ref": r, "lref": lref})
 
 
+def biharmonic_steep(refs_2d=(2, 3, 4, 5)):
+    """Reference artifacts driven with the steep manufactured solution:
+    shows the framework's discretization+extraction chain at its actual
+    asymptotic rate (the reference's own exact solution is too flat to
+    leave the secondary-floor regime, see biharmonic_synthetic_steep)."""
+    pats = {"L2": f"relative L2 norm: {FLOAT}",
+            "H1": f"relative H1 norm: {FLOAT}",
+            "H2": f"relative H2 norm: {FLOAT}"}
+    for r in refs_2d:
+        run("biharmonic", ["demos/biharmonic.py", "--ref", str(r),
+                           "--mms", "steep"],
+            pats, extra={"dim": 2, "ref": r, "mms": "steep"})
+
+
 def biharmonic(refs_2d=(1, 2, 3), refs_3d=(0,)):
     # 3D capped at R0: cube/Quadratic/R1+ ExOp_Cons.csv are stripped blobs
     # in this checkout (/root/reference/.MISSING_LARGE_BLOBS)
@@ -256,6 +270,7 @@ STUDIES = {
     "elasticity": elasticity,
     "elasticity_synthetic": elasticity_synthetic,
     "biharmonic": biharmonic,
+    "biharmonic_steep": biharmonic_steep,
     "biharmonic_synthetic": biharmonic_synthetic,
     "biharmonic_synthetic_steep": biharmonic_synthetic_steep,
     "tg_vortex": tg_vortex,
