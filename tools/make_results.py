@@ -192,7 +192,17 @@ def main():
             "(cos(0.05πx+0.1)…, nearly flat: relative errors start ~1e-5, "
             "already at secondary-floor level, so rates cannot show); "
             "mms=steep uses wavelength-2 cosines and exhibits the actual "
-            "asymptotic rate._\n"
+            "asymptotic rate. The 2D rows use NESTED fg/bg grids (round-3 "
+            "fix: straddling grids commit an O(h) H2 interpolation crime "
+            "across spline knot lines that capped every rate at ~1); with "
+            "nesting, H2 — the energy norm of the 4th-order problem — "
+            "converges at its optimal rate ~1. The remaining sub-2 L2 "
+            "rate is the synthetic pair's centroid-staircase boundary: a "
+            "4th-order dual problem has no H4 regularity on re-entrant "
+            "staircase corners, so the duality L2 gain is lost — a "
+            "property of the deliberately simple synthetic geometry, not "
+            "of the framework: the reference's trimmed artifacts reach "
+            "L2 rate 3.4 under the same steep MMS (table above)._\n"
         )
 
     def _tg_table(rows, with_p0=False):
