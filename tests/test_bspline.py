@@ -61,3 +61,30 @@ def test_outside_points_zero_rows():
     ones = np.asarray(M.mv(jnp.ones(sp.n_dofs)))
     assert np.isclose(ones[0], 1.0)
     assert ones[1] == 0.0 and ones[2] == 0.0
+
+
+def test_bspline_extraction_reproduces_in_space_functions_at_nodes():
+    """The transfer matrix evaluates the spline basis exactly, so any
+    function IN the spline space (here a global quadratic) is reproduced at
+    every fg node to machine precision — on nested AND straddling grids
+    alike. (The nesting requirement diagnosed in round 3 is about the
+    downstream P2 interpolant BETWEEN nodes across spline knot lines, which
+    only bites for splines with active C1 kinks — see
+    mesh/generators.py:immersed_square_bspline_problem and the
+    biharmonic_synthetic steep study.)"""
+    import numpy as np
+    from iifea_tpu.mesh.generators import immersed_square_bspline_problem
+    from iifea_tpu.mesh.core import FunctionSpace
+
+    n_bg = 8
+    for n_fg in (2 * n_bg, 2 * (n_bg + 1)):
+        mesh_f, M, ncp = immersed_square_bspline_problem(
+            n_fg=n_fg, n_bg=n_bg)
+        Vf = FunctionSpace(mesh_f, degree=2, n_fields=1)
+        xy = np.asarray(Vf.node_coords)
+        u_ex = xy[:, 0] ** 2 + 0.5 * xy[:, 1] ** 2 + xy[:, 0] * xy[:, 1]
+        # solve the (tall, exact) collocation system for control values
+        A = np.asarray(M.to_scipy().todense())
+        coef, *_ = np.linalg.lstsq(A, u_ex, rcond=None)
+        err = float(np.max(np.abs(A @ coef - u_ex)))
+        assert err < 1e-10, (n_fg, err)
