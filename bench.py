@@ -563,7 +563,7 @@ def main():
             probe_err = "backend init hung >180s (tunnel wedged)"
     if probe_err is not None:
         print(json.dumps({
-            "metric": "immersed_poisson_bench",
+            "metric": f"immersed_{args.workload}_bench",
             "value": 0.0, "unit": "s", "vs_baseline": 0.0,
             "error": "tpu_unavailable", "detail": probe_err,
         }))

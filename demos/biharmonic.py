@@ -89,9 +89,12 @@ if args.mesh_root == "synthetic":
     if dim == 3:
         from iifea_tpu.mesh.generators import immersed_cube_bspline_problem
 
+        # NESTED grids (n_fg = 2*n_bg) for the same reason as the 2D branch
+        # below — straddling fg cells break P2 extraction across the
+        # spline's C1 knot planes (O(h) H2 crime, rates cap at ~1).
         n_bg = 2 ** (int(ref) + 3) - 1
         mesh_f, M, lattice_shape = immersed_cube_bspline_problem(
-            n_fg=2 * (n_bg + 1), n_bg=n_bg
+            n_fg=2 * n_bg, n_bg=n_bg
         )
     else:
         from iifea_tpu.mesh.generators import immersed_square_bspline_problem
@@ -136,17 +139,17 @@ if lattice_shape is not None:
     u_p, _ = solve_ksp(dR_b, R_b, method=solv, pc='mg', rtol=1e-10,
                        lattice_shape=lattice_shape, stencil_radius=3,
                        monitor=True)
+    u_f = M.mv(u_p)
 elif dim == 3:
     # defect-correction Newton against finite-precision blowup
     # (biharmonic.py:230-231)
-    u_p = solve_newtons_linear(
+    u_p, u_f = solve_newtons_linear(
         prob.form, u0, M, jnp.zeros(M.n_bg_dofs), max_iters=20,
         relative_tolerance=1e-12, linear_method='direct',
     )
 else:
     u_p, _ = solve_ksp(dR_b, R_b, method='direct', monitor=True)  # :233-236
-
-u_f = M.mv(u_p)
+    u_f = M.mv(u_p)
 norms = prob.error_norms(u_f)
 
 if write_file:

@@ -71,15 +71,23 @@ def setup(enable_x64: bool = True) -> None:
     import atexit
 
     def _report_effective_platform():
+        # NOTE: must only report backends that are ALREADY initialized —
+        # jax.devices()/local_devices() would initialize the default (axon)
+        # backend here at exit, which HANGS when the tunnel is wedged. The
+        # private map is the only side-effect-free view; if a JAX upgrade
+        # removes it, say so out loud instead of silently dropping the
+        # marker (run_studies would otherwise label rows 'unknown').
         try:
             import jax._src.xla_bridge as xb
 
             plats = sorted({d.platform for b in xb._backends.values()
                             for d in b.local_devices()})
-            if plats:
-                print(f"[iifea_tpu] effective platform: {','.join(plats)}")
-        except Exception:
-            pass
+        except Exception as e:
+            print("[iifea_tpu] effective platform: unknown "
+                  f"(backend introspection failed: {type(e).__name__})")
+            return
+        if plats:
+            print(f"[iifea_tpu] effective platform: {','.join(plats)}")
 
     atexit.register(_report_effective_platform)
     _CONFIGURED = True

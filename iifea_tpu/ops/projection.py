@@ -132,6 +132,73 @@ class BackgroundOperator:
             d = jnp.where(self.trim_mask, 1.0, d)
         return d
 
+    def block_diag(self, n_fields: int, chunk: int = 65536) -> jnp.ndarray:
+        """Per-node (nf, nf) diagonal blocks of Mᵀ A_f M, exact.
+
+        Background dofs are field-blocked (dof = node + field*m, the
+        reference's layout — common.py:703), so the block at node j collects
+        the entries A_b[j + fa*m, j + fb*m]. Same element-block reduction as
+        ``diag`` with the dof-equality test split into node equality plus a
+        field mask pair — nf² passes over the diag() einsum, paid once at
+        preconditioner setup (PCBJACOBI role, common.py:568-616).
+
+        Returns (m, nf, nf) with m = n_bg_dofs // n_fields. Trimmed dofs get
+        identity rows in their node's block (zeroRows parity).
+        """
+        nf = int(n_fields)
+        assert self.n % nf == 0, (self.n, nf)
+        m = self.n // nf
+        dtype = self.blocks[0].dtype
+        out = jnp.zeros((nf, nf, m), dtype=dtype)
+        for (dom, _), K in zip(self.form.terms, self.blocks):
+            if dom.n_elem == 0:
+                continue
+            midx, mval = self.M.row_blocks(dom.eldofsT)   # (km, ne, nE)
+            nE = K.shape[-1]
+            csize = max(min(chunk, nE), 1)
+            pad = (-nE) % csize
+
+            def prep(a):
+                if pad:
+                    z = jnp.zeros(a.shape[:-1] + (pad,), a.dtype)
+                    a = jnp.concatenate([a, z], axis=-1)
+                a = a.reshape(a.shape[:-1] + ((nE + pad) // csize, csize))
+                return jnp.moveaxis(a, -2, 0)
+
+            Kc_all, ic_all, vc_all = prep(K), prep(midx), prep(mval)
+
+            def body(acc, args):
+                Kc, ic, vc = args
+                node = ic % m
+                fld = ic // m
+                eqn = node[:, :, None, None, :] == node[None, None, :, :, :]
+                for fa in range(nf):
+                    va = jnp.where(fld == fa, vc, 0.0)
+                    for fb in range(nf):
+                        vb = jnp.where(fld == fb, vc, 0.0)
+                        T = jnp.einsum(
+                            "abE,KaLbE,LbE->KaE",
+                            Kc, eqn.astype(Kc.dtype), vb,
+                        ) * va
+                        acc = acc.at[fa, fb].add(jax.ops.segment_sum(
+                            T.reshape(-1), node.reshape(-1), num_segments=m
+                        ))
+                return acc, None
+
+            partial, _ = jax.lax.scan(
+                body, jnp.zeros((nf, nf, m), K.dtype), (Kc_all, ic_all, vc_all)
+            )
+            out = out + partial
+        blocks = jnp.moveaxis(out, -1, 0)                  # (m, nf, nf)
+        if self.trim_mask is not None:
+            tm = self.trim_mask.reshape(nf, m)             # [field, node]
+            eye = jnp.eye(nf, dtype=dtype)
+            # trimmed (node, field) rows become identity rows of the block
+            blocks = jnp.where(
+                tm.T[:, :, None], eye[None, :, :], blocks
+            )
+        return blocks
+
     # -- explicit export (direct-solver path) ---------------------------------
 
     def to_scipy(self):

@@ -228,8 +228,11 @@ def _gmres_cycle(matvec, minv, b, x0, m, tol):
     # keep an absolute floor alongside the relative test: on immediate
     # Arnoldi breakdown (all |R_jj| == 0) the relative threshold is 0,
     # nothing is flagged, and back-substitution returns NaN where the
-    # correct answer is x0
-    bad = jnp.abs(diag) < jnp.maximum(eps * jnp.max(jnp.abs(diag)), 1e-300)
+    # correct answer is x0. The floor must be dtype-aware: a 1e-300
+    # literal underflows to 0.0 in float32, disabling the guard on
+    # exactly the path the eps=1e-5 branch targets.
+    floor = jnp.finfo(dtype).tiny
+    bad = jnp.abs(diag) < jnp.maximum(eps * jnp.max(jnp.abs(diag)), floor)
     R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
     gm = jnp.where(bad, 0.0, g[:m])
 

@@ -8,6 +8,8 @@ Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
          'bicgstab'                          (jit, on device)
          'mumps'/'direct' -> host sparse LU  (SuperLU; SURVEY N5 substitution)
   pc     'jacobi' (exact diagonal of Mᵀ A_f M), 'none'
+         'bjacobi' field-coupled point-block Jacobi (exact (nf, nf) node
+                  blocks via BackgroundOperator.block_diag; needs n_fields>1)
          'mg'     geometric multigrid on a lattice background: the projected
                   operator is probed into stencil form (ops/stencil.py) and
                   preconditioned by a V-cycle (ops/multigrid.py) — the
@@ -85,7 +87,12 @@ def _probe_chunk(A, dtype) -> int | None:
 
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
 def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
-    minv = precond.jacobi(diag) if pc == "jacobi" else None
+    if pc == "jacobi":
+        minv = precond.jacobi(diag)
+    elif pc == "bjacobi":
+        minv = precond.block_jacobi(diag)
+    else:
+        minv = None
     kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
     if method == "cg":
         return krylov.cg(A.mv, b, x0, **kw)
@@ -97,7 +104,7 @@ def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
 
 
 def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
-              n_fields=1, stencil_radius=2):
+              n_fields=1, stencil_radius=2, restart=300):
     """Stencil-probe the projected operator and MG-precondition the Krylov
     solve (the 'mg' pc): the bench.py fast path as a library feature.
 
@@ -158,8 +165,8 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
                 qs.append(v)
         Q = jnp.stack(qs) if qs else None
 
-        @partial(jax.jit, static_argnames=("method", "max_it"))
-        def run(S, mgp, Q, b, x0, rtol, atol, method, max_it):
+        @partial(jax.jit, static_argnames=("method", "max_it", "restart"))
+        def run(S, mgp, Q, b, x0, rtol, atol, method, max_it, restart):
             if Q is None:
                 minv = mgp.minv
             else:
@@ -170,11 +177,11 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
             kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
             if method == "cg":
                 return krylov.cg(S.mv, b, x0, **kw)
-            return krylov.gmres(S.mv, b, x0, restart=100, **kw)
+            return krylov.gmres(S.mv, b, x0, restart=restart, **kw)
 
         return run(
             S, mg, Q, b, x0, jnp.asarray(rtol, b.dtype),
-            jnp.asarray(atol, b.dtype), method, int(max_it),
+            jnp.asarray(atol, b.dtype), method, int(max_it), int(restart),
         )
 
     op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
@@ -223,8 +230,8 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         StencilMultigrid(S) if len(shape) == 2 else StencilMultigrid3D(S)
     )
 
-    @partial(jax.jit, static_argnames=("method", "max_it"))
-    def run(S, mgp, b, x0, rtol, atol, method, max_it):
+    @partial(jax.jit, static_argnames=("method", "max_it", "restart"))
+    def run(S, mgp, b, x0, rtol, atol, method, max_it, restart):
         if mgp is not None:
             minv = mgp.minv
             # mv_ref, not the Pallas mv: the V-cycle contains transfer
@@ -239,11 +246,11 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
         if method == "cg":
             return krylov.cg(mv, b, x0, **kw)
-        return krylov.gmres(mv, b, x0, restart=100, **kw)
+        return krylov.gmres(mv, b, x0, restart=restart, **kw)
 
     return run(
         S, mg, b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
-        method, int(max_it),
+        method, int(max_it), int(restart),
     )
 
 
@@ -293,25 +300,39 @@ def solve_ksp(
             raise ValueError("pc='mg' requires lattice_shape=(nx+1, ny+1[, nz+1])")
         x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol,
                             max_it, n_fields=n_fields,
-                            stencil_radius=stencil_radius)
+                            stencil_radius=stencil_radius,
+                            restart=gmres_restart)
         if monitor:
-            print(
-                f"Converged in {int(info.iters)} iterations. "
-                f"(residual norm {float(info.resnorm):.3e})"
-            )
+            _print_monitor(info)
         return x, info
-    diag = A.diag() if pc == "jacobi" else jnp.ones_like(b)
+    if pc == "bjacobi" and n_fields <= 1:
+        warnings.warn(
+            "pc='bjacobi' with a single field is pointwise jacobi; "
+            "pass n_fields>1 for field-coupled blocks", stacklevel=2
+        )
+        pc = "jacobi"
+    if pc == "bjacobi":
+        # field-coupled point-block diagonal (PCBJACOBI, common.py:568-616)
+        diag = A.block_diag(n_fields)
+    elif pc == "jacobi":
+        diag = A.diag()
+    else:
+        diag = jnp.ones_like(b)
     x, info = _krylov_solve(
         A, b, x0, diag,
         jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
         int(max_it), method, pc, int(gmres_restart),
     )
     if monitor:
-        print(
-            f"Converged in {int(info.iters)} iterations. "
-            f"(residual norm {float(info.resnorm):.3e})"
-        )
-        if info.history is not None:
-            h = np.asarray(info.history)
-            print("Convergence history:", h[h >= 0].tolist())
+        _print_monitor(info)
     return x, info
+
+
+def _print_monitor(info):
+    print(
+        f"Converged in {int(info.iters)} iterations. "
+        f"(residual norm {float(info.resnorm):.3e})"
+    )
+    if info.history is not None:
+        h = np.asarray(info.history)
+        print("Convergence history:", h[h >= 0].tolist())

@@ -143,6 +143,10 @@ def solve_newtons_linear(
 
     Assembles A_b and L_b = Mᵀ R(u_f) once, then iterates
     res = A u + L ; solve A du = res ; u -= relax * du.
+
+    Returns (u_p, u_f) like solve_nonlinear (u_f = M u_p, computed once at
+    convergence — the system is linear, so intermediate foreground states
+    are never consumed).
     """
     aux = aux or {}
     # reference builds (A, L) from the linear form pair; here the residual at
@@ -186,7 +190,6 @@ def solve_newtons_linear(
         if relative_norm < relative_tolerance or \
                 relative_norm_res < relative_tolerance:
             log_info("converged")
-            return u_p
+            return u_p, M.mv(u_p)
         u_p = u_p - relax_param * du_p
-        u_f = M.mv(u_p)
     raise NonlinearSolveError("Nonlinear solver failed to converge.")

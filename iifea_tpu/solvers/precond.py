@@ -25,13 +25,33 @@ def jacobi(diag: jnp.ndarray, guard: float = 0.0):
 
 
 def block_jacobi(diag_blocks: jnp.ndarray):
-    """Point-block Jacobi: diag_blocks (n_nodes, nf, nf) per-node blocks."""
-    inv = jnp.linalg.inv(diag_blocks)
+    """Point-block Jacobi (PCBJACOBI role): diag_blocks (m, nf, nf) per-node
+    field-coupling blocks of the background operator.
+
+    Background vectors are FIELD-BLOCKED (dof = node + field*m, the
+    reference's layout — common.py:703), so a length-nf*m vector reshapes to
+    (nf, m), not (m, nf).
+
+    Unsupported background nodes (zero rows — basis functions with no active
+    foreground support, common.py:207-233) make their block singular; those
+    rows/columns fall back to the jacobi convention (identity action) by
+    patching zero diagonal entries to 1 before inversion, and any block the
+    inverse still fails on (non-finite) degrades to its diagonal inverse.
+    """
     nf = diag_blocks.shape[-1]
+    d = jnp.einsum("nii->ni", diag_blocks)                 # (m, nf)
+    safe_d = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    eye = jnp.eye(nf, dtype=diag_blocks.dtype)
+    patched = diag_blocks.at[
+        :, jnp.arange(nf), jnp.arange(nf)
+    ].set(safe_d)
+    inv = jnp.linalg.inv(patched)
+    diag_inv = eye * (1.0 / safe_d)[:, :, None]
+    ok = jnp.isfinite(inv).all(axis=(1, 2), keepdims=True)
+    inv = jnp.where(ok, jnp.where(jnp.isfinite(inv), inv, 0.0), diag_inv)
 
     def minv(x):
-        xb = x.reshape(-1, nf)
-        # background layout is field-blocked: reshape accordingly
-        return jnp.einsum("nij,nj->ni", inv, xb).reshape(-1)
+        xb = x.reshape(nf, -1)                             # [field, node]
+        return jnp.einsum("nab,bn->an", inv, xb).reshape(-1)
 
     return minv

@@ -372,16 +372,17 @@ def test_newtons_linear_warm_start_pins_zero():
     prob = PoissonProblem(mesh, k=1, sym=True, beta_value=10)
     u_f = jnp.zeros(prob.space.n_dofs)
     pin = np.array([0, 1])
-    cold = solve_newtons_linear(
+    cold, cold_f = solve_newtons_linear(
         prob.form, u_f, M, jnp.zeros(M.n_bg_dofs), zero_ids=pin,
         monitor_newton=False, linear_method="direct",
     )
     rng = np.random.default_rng(5)
     warm0 = jnp.asarray(rng.standard_normal(M.n_bg_dofs))
-    warm = solve_newtons_linear(
+    warm, warm_f = solve_newtons_linear(
         prob.form, u_f, M, warm0, zero_ids=pin,
         monitor_newton=False, linear_method="direct",
     )
+    assert np.allclose(np.asarray(cold_f), np.asarray(M.mv(cold)))
     assert np.allclose(np.asarray(warm)[pin], 0.0, atol=1e-12)
     assert np.allclose(np.asarray(cold)[pin], 0.0, atol=1e-12)
     # compare on SUPPORTED dofs only: zero-row (unsupported) dofs keep
@@ -398,3 +399,71 @@ def test_newtons_linear_warm_start_pins_zero():
     scale = max(float(jnp.abs(cold).max()), 1.0)
     assert np.allclose(np.asarray(warm)[sup], np.asarray(cold)[sup],
                        atol=1e-5 * scale)
+
+
+def test_block_diag_exact_and_bjacobi_beats_jacobi():
+    """BackgroundOperator.block_diag must reproduce the explicit matrix's
+    per-node field-coupling blocks exactly (field-blocked layout,
+    dof = node + field*m), and pc='bjacobi' must converge in no more — on
+    the coupled vector system, strictly fewer — GMRES iterations than
+    pointwise jacobi (PCBJACOBI role, common.py:568-616)."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    mesh_f, M = immersed_square_problem(n_fg=16, n_bg=8, degree=1,
+                                        n_fields=2)
+    prob = ImmersedElasticityProblem(mesh_f, k=1)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    nf = 2
+    m = M.n_bg_dofs // nf
+    A_sp = np.asarray(A.to_scipy().todense())
+    bd = np.asarray(A.block_diag(nf))
+    idx = np.arange(m)
+    scale = np.abs(A_sp).max()
+    for fa in range(nf):
+        for fb in range(nf):
+            ref = A_sp[idx + fa * m, idx + fb * m]
+            assert np.allclose(bd[:, fa, fb], ref, atol=1e-12 * scale), (
+                fa, fb, np.abs(bd[:, fa, fb] - ref).max())
+    # the off-diagonal coupling must be nontrivial for this to test anything
+    assert np.abs(bd[:, 0, 1]).max() > 1e-12 * scale
+
+    u_j, info_j = solve_ksp(A, b, method="gmres", pc="jacobi",
+                            rtol=1e-10, monitor=False)
+    u_b, info_b = solve_ksp(A, b, method="gmres", pc="bjacobi", n_fields=nf,
+                            rtol=1e-10, monitor=False)
+    # same answer on supported dofs
+    d = np.asarray(A.diag())
+    sup = np.abs(d) > 0
+    scale_u = max(float(jnp.abs(u_j).max()), 1.0)
+    assert np.allclose(np.asarray(u_b)[sup], np.asarray(u_j)[sup],
+                       atol=1e-6 * scale_u)
+    assert int(info_b.iters) < int(info_j.iters), (
+        int(info_b.iters), int(info_j.iters))
+
+
+def test_bjacobi_single_field_degrades_to_jacobi():
+    import warnings as _w
+
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    mesh_f, M = immersed_square_problem(n_fg=12, n_bg=6)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    u_ref, _ = solve_ksp(A, b, method="cg", pc="jacobi", rtol=1e-11,
+                         monitor=False)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        u, _ = solve_ksp(A, b, method="cg", pc="bjacobi", rtol=1e-11,
+                         monitor=False)
+    assert any("bjacobi" in str(r.message) for r in rec)
+    assert np.allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
