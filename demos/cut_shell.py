@@ -39,6 +39,11 @@ parser.add_argument('--ckpt', dest='ckpt', default=None,
                          'every --ckpt-every load steps')
 parser.add_argument('--ckpt-every', dest='ckpt_every', default=10,
                     help='Checkpoint interval in load steps')
+parser.add_argument('--wv', dest='wv', default=False,
+                    help='write a ParaView displacement series '
+                         '(bent_shell_results/disp.pvd) on the mapped '
+                         'midsurface, one snapshot per load step '
+                         '(File("...pvd") role, cut_shell.py:342-349)')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"))
@@ -101,6 +106,18 @@ if args.ckpt:
         log_info(f">>> Resumed from {args.ckpt} at load step {start_step}, "
                  f"t = {t}")
 
+series = None
+if str2bool(args.wv):
+    import jax
+
+    from iifea_tpu.utils.fieldio import PVDSeries
+
+    series = PVDSeries("bent_shell_results/disp.pvd")
+    # mapped 3D midsurface as the viz geometry (the parametric mesh is 2D)
+    surf_pts = np.asarray(jax.vmap(bent_tab_surface)(
+        jnp.asarray(prob.space.node_coords)
+    ))
+
 log_info(">>> Solving load steps...")
 for i in range(start_step, N_STEPS):
     log_info(f"------- Step: {i+1} , t = {t} -------")
@@ -114,6 +131,10 @@ for i in range(start_step, N_STEPS):
     tip_hist[i] = prob.evaluate(u_f, [circle_tip])[0]
     top_hist[i] = prob.evaluate(u_f, [wing_top_corner])[0]
     bot_hist[i] = prob.evaluate(u_f, [wing_bottom_corner])[0]
+    if series is not None:
+        series.write(t, prob.space, point_data={"disp": np.asarray(u_f)},
+                     cell_data={"material": mesh_f.material},
+                     points=surf_pts)
     if args.ckpt and (i + 1) % int(args.ckpt_every) == 0:
         save_checkpoint(args.ckpt, i + 1,
                         {"u_p": u_p, "u_f": u_f, "tip_hist": tip_hist,

@@ -44,6 +44,11 @@ parser.add_argument('--wf', dest='wf', default=False,
                     help='write output data to file')
 parser.add_argument('--of', dest='of', default='poisson_data.csv',
                     help='Destination for output data')
+parser.add_argument('--wv', dest='wv', default=False,
+                    help='write solution/exact fields to a VTU file for '
+                         'ParaView (XDMFFile role, poisson.py:256-261)')
+parser.add_argument('--ov', dest='ov', default='poisson_fields.vtu',
+                    help='VTU output path for --wv')
 parser.add_argument('--Ex', dest='Ex', default=True,
                     help='Option to solve on the FG mesh (False: identity M)')
 parser.add_argument('--devices', dest='devices', default=1, type=int,
@@ -144,6 +149,24 @@ if write_file:
     with open(output_file, 'a') as f:  # schema parity: poisson.py:241-247
         f.write("\n")
         f.write(f"{ref},{norms['H10']},{norms['L2']},{k}")
+
+if str2bool(args.wv):
+    import numpy as np
+
+    from iifea_tpu.utils.fieldio import write_vtu
+
+    import jax
+
+    u_ex = np.asarray(jax.vmap(prob.u_ex)(
+        jnp.asarray(prob.space.node_coords)
+    ))
+    write_vtu(
+        args.ov, prob.space,
+        point_data={"u": np.asarray(u_f), "u_exact": u_ex,
+                    "error": np.asarray(u_f) - u_ex},
+        cell_data={"material": mesh_f.material},
+    )
+    log_info(f"wrote fields to {args.ov}")
 
 log_info('-' * 40)
 log_info('-' * 5 + f" {Nitsche_type} " + '-' * 5)

@@ -60,6 +60,12 @@ parser.add_argument('--mesh-root', dest='mesh_root',
                     help="Reference mesh artifacts root, or 'synthetic' for "
                          "a generated immersed square on a lattice "
                          "background (enables --pc mg)")
+parser.add_argument('--wv', dest='wv', default=False,
+                    help='write a ParaView velocity/pressure series '
+                         '(tg_results/fields.pvd), one snapshot per '
+                         '--wv-every steps')
+parser.add_argument('--wv-every', dest='wv_every', default=1,
+                    help='snapshot interval in time steps for --wv')
 args = parser.parse_args()
 
 k = int(args.k)
@@ -146,6 +152,21 @@ if args.ckpt:
         log_info(f">>> Resumed from {args.ckpt} at step {start_step}, "
                  f"t = {t}")
 
+series = None
+if str2bool(args.wv):
+    from iifea_tpu.utils.fieldio import PVDSeries
+
+    series = PVDSeries("tg_results/fields.pvd")
+
+    def _write_fields(time, u_field):
+        # fg dofs are node-interleaved (u, v, p) triples
+        f = np.asarray(u_field).reshape(-1, 3)
+        series.write(time, prob.space,
+                     point_data={"velocity": f[:, :2], "pressure": f[:, 2]},
+                     cell_data={"material": mesh_f.material})
+
+    _write_fields(t, up_f)
+
 for step in range(start_step, N_STEPS):
     log_info(f"======= Time step {step+1}/{N_STEPS} =======")
     t += 0.5 * Dt
@@ -168,6 +189,8 @@ for step in range(start_step, N_STEPS):
     )                                          # tg_vortex.py:332-338
     up_old_f = up_f
     t += 0.5 * Dt
+    if series is not None and (step + 1) % int(args.wv_every) == 0:
+        _write_fields(t, up_f)
     if args.ckpt and (step + 1) % int(args.ckpt_every) == 0:
         save_checkpoint(args.ckpt, step + 1,
                         {"up_p": up_p, "up_old_f": up_old_f},

@@ -68,22 +68,28 @@ def _norm_point_data(data, n_nodes: int):
     return out
 
 
-def write_vtu(path, space_or_mesh, point_data=None, cell_data=None):
+def write_vtu(path, space_or_mesh, point_data=None, cell_data=None,
+              points=None):
     """Write one unstructured-grid snapshot.
 
     ``space_or_mesh``: a FunctionSpace (P1/P2 nodes become VTK points, cells
     become (quadratic) simplices) or a Mesh (P1 view). ``point_data`` maps
     name -> nodal array (flat interleaved or (n_nodes, nf)); ``cell_data``
-    maps name -> per-cell array (e.g. ``mesh.material``).
-    """
+    maps name -> per-cell array (e.g. ``mesh.material``). ``points``
+    overrides the node coordinates (n_nodes, 2|3) — e.g. a shell's mapped
+    3D midsurface in place of its 2D parametric domain."""
     mesh = getattr(space_or_mesh, "mesh", space_or_mesh)
     space = space_or_mesh if hasattr(space_or_mesh, "cell_dofs") else None
     if space is not None:
-        points = np.asarray(space.node_coords, dtype=np.float64)
+        points = np.asarray(
+            space.node_coords if points is None else points, dtype=np.float64
+        )
         cells = np.asarray(space.cell_dofs, dtype=np.int64)
         degree = space.degree
     else:
-        points = np.asarray(mesh.coords, dtype=np.float64)
+        points = np.asarray(
+            mesh.coords if points is None else points, dtype=np.float64
+        )
         cells = np.asarray(mesh.cells, dtype=np.int64)
         degree = 1
     dim = points.shape[1]
@@ -179,9 +185,10 @@ class PVDSeries:
             os.makedirs(d, exist_ok=True)
         self._steps: list[tuple[float, str]] = []
 
-    def write(self, t: float, space_or_mesh, point_data=None, cell_data=None):
+    def write(self, t: float, space_or_mesh, point_data=None, cell_data=None,
+              points=None):
         fn = f"{self.base}_{len(self._steps):06d}.vtu"
-        write_vtu(fn, space_or_mesh, point_data, cell_data)
+        write_vtu(fn, space_or_mesh, point_data, cell_data, points=points)
         self._steps.append((float(t), os.path.basename(fn)))
         lines = [
             '<?xml version="1.0"?>',
