@@ -465,7 +465,7 @@ def _coarsen3_probe(fine: "StencilOperator3D") -> "StencilOperator3D":
 
     def rap_one(xc):
         xf = _prolong3(xc.reshape(cshape))
-        yf = fine.mv(xf.reshape(-1)).reshape(fine.shape)
+        yf = fine.mv_ref(xf.reshape(-1)).reshape(fine.shape)
         return _restrict3(yf).reshape(-1)
 
     return StencilOperator3D.probe_multi(
@@ -513,7 +513,7 @@ def _dense_inverse3(S: "StencilOperator3D") -> jnp.ndarray:
     """Explicit pseudo-inverse of the coarsest 3D operator (n ~ 9³..17³);
     see _dense_inverse for why a plain inverse is not safe here."""
     n = S.n
-    A = jax.vmap(S.mv)(jnp.eye(n, dtype=S.dtype)).T
+    A = jax.vmap(S.mv_ref)(jnp.eye(n, dtype=S.dtype)).T
     d = jnp.diagonal(A)
     A = A + jnp.diag(jnp.where(jnp.abs(d) > 0, 0.0, 1.0).astype(A.dtype))
     return _pinv(A)
@@ -526,8 +526,13 @@ class StencilMultigrid3D:
     Same structure as the 2D cycle (full-weighting/trilinear transfers,
     Galerkin re-probed coarse stencils, weighted-Jacobi smoothing, dense
     coarsest inverse) — the TPU-native stand-in for the reference's 3D
-    MUMPS path (poisson.py:207-210, SURVEY.md N5). Smoothing uses the plain
-    shifted-FMA apply (no fused Pallas smoother in 3D yet)."""
+    MUMPS path (poisson.py:207-210, SURVEY.md N5). Every apply inside the
+    cycle uses the pure-XLA shifted-FMA form (``mv_ref``), NOT the 3D Pallas
+    kernel, for the same measured reason as 2D (module docstring): a Pallas
+    custom call adjacent to the transfer convolutions forces them into a
+    degenerate layout/emitter. The fused Pallas smoother
+    (StencilOperator3D.jacobi_smooth) exists for standalone smoothing and
+    A/B runs (tools/ab_stencil3.py)."""
 
     def tree_flatten(self):
         return (self.levels, self.inv_diags, self.coarse_inv), (
@@ -571,8 +576,9 @@ class StencilMultigrid3D:
         invd = self.inv_diags[lvl]
         om = self.omega
 
+        # mv_ref, not the Pallas mv: see class docstring
         def body(_, x):
-            return x + om * invd * (b - S.mv(x))
+            return x + om * invd * (b - S.mv_ref(x))
 
         return jax.lax.fori_loop(0, sweeps, body, x)
 
@@ -583,7 +589,7 @@ class StencilMultigrid3D:
                 return self.coarse_inv @ b
             return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
         x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
-        r = b - S.mv(x)
+        r = b - S.mv_ref(x)
         rc = _restrict3(r.reshape(S.shape)).reshape(-1)
         xc = self._vcycle(lvl + 1, rc)
         x = x + _prolong3(

@@ -489,27 +489,41 @@ class StencilOperator3D:
     as 2D with (i, j, k) mod-m phases.
     """
 
-    def __init__(self, coeffs: jnp.ndarray, shape, radius: int):
-        self.coeffs = coeffs          # ((2r+1)³, nx1, ny1, nz1)
+    def __init__(self, coeffs: jnp.ndarray, shape, radius: int,
+                 _padded: bool = False):
         self.shape = tuple(shape)
         self.radius = radius
         self.n = shape[0] * shape[1] * shape[2]
+        if _padded:
+            self.cp = coeffs
+        else:
+            nxp, nyp, nzp = ps.padded_shape3(self.shape)
+            self.cp = jnp.pad(
+                coeffs,
+                ((0, 0), (0, nxp - shape[0]), (0, nyp - shape[1]),
+                 (0, nzp - shape[2])),
+            )
+
+    @property
+    def coeffs(self) -> jnp.ndarray:
+        """Logical ((2r+1)³, nx1, ny1, nz1) coefficient view."""
+        return self.cp[:, : self.shape[0], : self.shape[1], : self.shape[2]]
 
     @property
     def dtype(self):
-        return self.coeffs.dtype
+        return self.cp.dtype
 
     def tree_flatten(self):
-        return (self.coeffs,), (self.shape, self.radius)
+        return (self.cp,), (self.shape, self.radius)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         shape, radius = aux
-        return cls(leaves[0], shape, radius)
+        return cls(leaves[0], shape, radius, _padded=True)
 
     def astype(self, dtype) -> "StencilOperator3D":
         return StencilOperator3D(
-            self.coeffs.astype(dtype), self.shape, self.radius
+            self.cp.astype(dtype), self.shape, self.radius, _padded=True
         )
 
     @staticmethod
@@ -538,13 +552,27 @@ class StencilOperator3D:
         return StencilOperator3D(C, shape, r)
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A_b x as (2r+1)³ shifted dense multiply-adds."""
+        """y = A_b x as (2r+1)³ shifted dense multiply-adds.
+
+        On TPU the f32 path dispatches to the 3D Pallas kernel
+        (ops/pallas_stencil.py). The multigrid V-cycle deliberately calls
+        :meth:`mv_ref` instead (Pallas custom calls force untiled layouts on
+        the adjacent transfer convolutions — PERF.md §3).
+        """
+        if (self.cp.dtype == jnp.float32 and ps.on_tpu()
+                and ps.fits_vmem3(self.shape, self.radius)):
+            return ps.stencil_mv3(self.cp, x, self.shape, self.radius)
+        return self.mv_ref(x)
+
+    def mv_ref(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pure-XLA shifted-FMA apply (CPU tests, f64, inside MG cycles)."""
         nx1, ny1, nz1 = self.shape
         r = self.radius
         m = 2 * r + 1
         x3 = x.reshape(nx1, ny1, nz1)
         xp = jnp.pad(x3, ((r, r), (r, r), (r, r)))
         y = jnp.zeros_like(x3)
+        C = self.coeffs
         for oi in range(m):
             for oj in range(m):
                 for ok in range(m):
@@ -552,8 +580,33 @@ class StencilOperator3D:
                     shifted = jax.lax.dynamic_slice(
                         xp, (oi, oj, ok), (nx1, ny1, nz1)
                     )
-                    y = y + self.coeffs[kk] * shifted
+                    y = y + C[kk] * shifted
         return y.reshape(-1)
+
+    def jacobi_smooth(self, invd3p, b3p, x, omega) -> jnp.ndarray:
+        """One weighted-Jacobi sweep x + ω·invd·(b − A x), fused on TPU.
+
+        ``invd3p``/``b3p`` are tile-padded volumes from :meth:`pad_volume`
+        (loop-invariant across sweeps, so padded once by the caller).
+        """
+        if (self.cp.dtype == jnp.float32 and ps.on_tpu()
+                and ps.fits_vmem3(self.shape, self.radius)):
+            return ps.jacobi_smooth3(
+                self.cp, invd3p, b3p, x, omega, self.shape, self.radius
+            )
+        nx1, ny1, nz1 = self.shape
+        invd = invd3p[:nx1, :ny1, :nz1].reshape(-1)
+        b = b3p[:nx1, :ny1, :nz1].reshape(-1)
+        return x + omega * invd * (b - self.mv_ref(x))
+
+    def pad_volume(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Flat (n,) vector -> tile-padded (nxp, nyp, nzp) volume."""
+        nx1, ny1, nz1 = self.shape
+        nxp, nyp, nzp = ps.padded_shape3(self.shape)
+        return jnp.pad(
+            v.reshape(nx1, ny1, nz1),
+            ((0, nxp - nx1), (0, nyp - ny1), (0, nzp - nz1)),
+        )
 
     def diag(self) -> jnp.ndarray:
         r = self.radius

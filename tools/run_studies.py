@@ -169,6 +169,20 @@ def tg_pressure(refs=(1, 2, 3)):
             TG_PATS, timeout=4 * 3600, extra={"ref": r, "pin_pressure": True})
 
 
+def tg_synthetic(refs=(1, 2, 3)):
+    """Nested-grid TG sweep on the on-device mg path (VERDICT r3 #5): the
+    synthetic immersed pair is nested by construction (tg_vortex.py:81-82,
+    n_fg=2*n_bg) and gmres+mg is the block-MG product path, so this gives
+    the NS family the same convergence table elasticity_synthetic and
+    biharmonic_synthetic give theirs."""
+    for r in refs:
+        run("tg_synthetic",
+            ["demos/tg_vortex.py", "--k", "1", "--ref", str(r),
+             "--Re", "100", "--T", "1.0", "--mesh-root", "synthetic",
+             "--solv", "gmres", "--pc", "mg"],
+            TG_PATS, timeout=4 * 3600, extra={"ref": r, "solver": "gmres+mg"})
+
+
 def cut_shell():
     pats = {"tip_x": f"Displacement at tip of tab: \\( {FLOAT} ,",
             "tip_y": f"Displacement at tip of tab: \\( [-+0-9.eE]+ , {FLOAT} ,",
