@@ -201,14 +201,27 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
 
     if os.environ.get("IIFEA_BENCH_PHASES") and solver is not None:
         # per-phase wall clock. Each phase: drain the device queue (readback
-        # of every prior output — block_until_ready does not reliably block
+        # of the phase output — block_until_ready does not reliably block
         # through the axon tunnel, PERF.md), run twice, report the best.
+        # ONE fused readback per sync: a per-leaf float() costs a full
+        # ~25 ms tunnel round-trip each, which inflated many-leaf phases —
+        # r4 measured mg_build at 0.42 s when ~0.4 s of it was the ~18
+        # hierarchy leaves being read back one at a time.
+        @jax.jit
+        def _probe_scalar(leaves):
+            return sum(
+                (l.reshape(-1)[0].astype(jnp.float32) for l in leaves),
+                start=jnp.float32(0),
+            )
+
         def sync(*vs):
-            for v in vs:
-                for leaf in jax.tree_util.tree_leaves(v):
-                    a = jnp.asarray(leaf).reshape(-1)
-                    if a.size:
-                        _ = float(a[0])
+            leaves = [
+                jnp.asarray(l) for v in vs
+                for l in jax.tree_util.tree_leaves(v)
+                if getattr(l, "size", 0)
+            ]
+            if leaves:
+                _ = float(_probe_scalar(leaves))
 
         ph = {}
 
@@ -487,6 +500,16 @@ def run_cpu_baseline(n_bg: int, rtol: float = 1e-10, dim: int = 2):
     }
 
 
+def _classify_backend_error(e: Exception) -> str:
+    """An HBM OOM also mentions "backend"; it is a sizing problem in this
+    code, not a wedged tunnel — label it so driver records don't lie."""
+    s = str(e)
+    if "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s \
+            or "would exceed memory" in s:
+        return "hbm_oom"
+    return "tpu_unavailable"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-bg", type=int, default=None,
@@ -579,7 +602,7 @@ def main():
             print(json.dumps({
                 "metric": f"immersed_{args.workload}_bench",
                 "value": 0.0, "unit": "s", "vs_baseline": 0.0,
-                "error": "tpu_unavailable", "detail": str(e)[:300],
+                "error": _classify_backend_error(e), "detail": str(e)[:300],
             }))
         return
 
@@ -593,7 +616,7 @@ def main():
         print(json.dumps({
             "metric": "immersed_poisson_bench",
             "value": 0.0, "unit": "s", "vs_baseline": 0.0,
-            "error": "tpu_unavailable", "detail": str(e)[:300],
+            "error": _classify_backend_error(e), "detail": str(e)[:300],
         }))
         sys.exit(0)
 

@@ -49,6 +49,11 @@ parser.add_argument('--wv', dest='wv', default=False,
                          'ParaView (XDMFFile role, poisson.py:256-261)')
 parser.add_argument('--ov', dest='ov', default='poisson_fields.vtu',
                     help='VTU output path for --wv')
+parser.add_argument('--beta', dest='beta', default=10.0, type=float,
+                    help='Nitsche penalty (reference poisson.py:194 uses 10). '
+                         'Diagnostic: the 3D R2 artifact H10 dip is marginal '
+                         'coercivity at beta=10 on that cut; beta=40 restores '
+                         'monotone rates (RESULTS.md, Poisson 3D note)')
 parser.add_argument('--Ex', dest='Ex', default=True,
                     help='Option to solve on the FG mesh (False: identity M)')
 parser.add_argument('--devices', dest='devices', default=1, type=int,
@@ -97,7 +102,7 @@ else:
     mesh_f = read_mesh(path)
     M_synth = None
 
-prob = PoissonProblem(mesh_f, k=k, sym=symmetric, beta_value=10)
+prob = PoissonProblem(mesh_f, k=k, sym=symmetric, beta_value=args.beta)
 
 if not Ex:
     M = ExtractionOperator.identity(prob.space.n_nodes)   # poisson.py:178-181

@@ -40,6 +40,7 @@ material marker, matching the reference's reliance on DOLFIN's ordering
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -236,6 +237,20 @@ def scatter_into_multi(Y, domain, data):
     if domain.scat_touched is None:
         return Y + contrib
     return Y.at[:, domain.scat_touched].add(contrib)
+
+
+# jacfwd element batches above this size are evaluated through lax.map:
+# the tangent-batched per-element intermediates scale as
+# (tangents x elements x kernel temps) and OOM HBM at bench scale
+_DEFAULT_JAC_CHUNK = 262144
+
+
+def _auto_chunk(chunk):
+    if chunk is None:
+        env = os.environ.get("IIFEA_ASSEMBLY_CHUNK")
+        # env "0" disables chunking, same as passing chunk=0
+        return (int(env) or None) if env else _DEFAULT_JAC_CHUNK
+    return None if chunk == 0 else chunk
 
 
 def _chunk_last(tree, chunk: int, nE: int):
@@ -487,7 +502,12 @@ class Form:
         ``chunk``: evaluate elements in lax.map segments of this size. The
         jacfwd graph holds tangent-batched per-element intermediates; at
         million-element scale (bench) those exceed HBM unless bounded.
+        ``None`` auto-chunks at _DEFAULT_JAC_CHUNK (observed: the unchunked
+        elasticity/biharmonic workload benches plan 18-25 GB tangent
+        broadcasts at ~750k elements and OOM the 16 GB chip at compile
+        time); pass 0 to force a single unchunked evaluation.
         """
+        chunk = _auto_chunk(chunk)
         aux = aux or {}
         blocks = []
         for dom, kern in self.terms:
@@ -530,7 +550,9 @@ class Form:
 
         The dof gathers, quadrature geometry, and kernel subexpressions are
         shared between the primal and the jacfwd tangents (XLA CSE), saving
-        a full assembly sweep vs calling jacobian_blocks + residual."""
+        a full assembly sweep vs calling jacobian_blocks + residual.
+        ``chunk=None`` auto-chunks (see jacobian_blocks); 0 disables."""
+        chunk = _auto_chunk(chunk)
         aux = aux or {}
         blocks = []
         r = jnp.zeros(self.n_dofs, dtype=u.dtype)

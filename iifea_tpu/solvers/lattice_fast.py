@@ -108,16 +108,29 @@ class BinnedLatticeSolver:
             _project_rhs_df = cell_window.project_rhs_df_windows
             _apply_df = cell_window.apply_df_windows
 
+        # two executables, not one: at the 3D bench scale (10M tets) the
+        # monolithic assemble graph's planned allocation exceeded HBM by
+        # ~0.8 GB at compile time (v5e 15.75G); splitting rhs-projection from
+        # stiffness halves the per-executable peak, and the b_df temporaries
+        # are freed before the stiffness graph runs
         @jax.jit
-        def _assemble(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
+        def _assemble_rhs(reds, rhs_tbl):
             r_el = prob.rhs_el_df(rhs_tbl)
             b_df = _project_rhs_df(reds, r_el)
-            b64 = b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
+            return b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
+
+        @jax.jit
+        def _assemble_K(JinvT_b, wdetT_b, facet_dom, u):
             K_cell_b = p1_stiffness_df_arrays(JinvT_b, wdetT_b, gref)
             sub = _Form.tree_unflatten(
                 ((facet_kernel,), n_dofs, n_fields), (facet_dom,)
             )
             K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
+            return K_cell_b, K_facet
+
+        def _assemble(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
+            b64 = _assemble_rhs(reds, rhs_tbl)
+            K_cell_b, K_facet = _assemble_K(JinvT_b, wdetT_b, facet_dom, u)
             return b64, K_cell_b, K_facet
 
         @jax.jit

@@ -130,9 +130,28 @@ def test_jacobian_and_residual_fused_consistency():
     form = Form(V, [Term(dom, nonlinear_kernel)])
     rng = np.random.default_rng(3)
     u = jnp.asarray(rng.standard_normal(V.n_dofs) * 0.3)
-    for chunk in (None, 7):
+    # chunk=0 forces one unchunked evaluation; None auto-chunks; 7 exercises
+    # the lax.map path with padding (32 cells / 7 leaves a ragged tail)
+    for chunk in (None, 7, 0):
         blocks, r = form.jacobian_and_residual(u, chunk=chunk)
-        K_ref = form.jacobian_blocks(u)[0]
+        K_ref = form.jacobian_blocks(u, chunk=0)[0]
         r_ref = form.residual(u)
         assert np.allclose(np.asarray(blocks[0]), np.asarray(K_ref), atol=1e-13)
         assert np.allclose(np.asarray(r), np.asarray(r_ref), atol=1e-13)
+        assert np.allclose(
+            np.asarray(form.jacobian_blocks(u, chunk=chunk)[0]),
+            np.asarray(K_ref), atol=1e-13,
+        )
+
+
+def test_auto_chunk_env(monkeypatch):
+    from iifea_tpu.ops.assembly import _auto_chunk, _DEFAULT_JAC_CHUNK
+
+    monkeypatch.delenv("IIFEA_ASSEMBLY_CHUNK", raising=False)
+    assert _auto_chunk(None) == _DEFAULT_JAC_CHUNK
+    assert _auto_chunk(0) is None          # explicit 0 disables chunking
+    assert _auto_chunk(31) == 31
+    monkeypatch.setenv("IIFEA_ASSEMBLY_CHUNK", "1024")
+    assert _auto_chunk(None) == 1024
+    monkeypatch.setenv("IIFEA_ASSEMBLY_CHUNK", "0")
+    assert _auto_chunk(None) is None       # env 0 disables too

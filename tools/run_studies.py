@@ -289,6 +289,7 @@ STUDIES = {
     "biharmonic_synthetic_steep": biharmonic_synthetic_steep,
     "tg_vortex": tg_vortex,
     "tg_pressure": tg_pressure,
+    "tg_synthetic": tg_synthetic,
     "cut_shell": cut_shell,
     "pinned_shell": pinned_shell,
     "unfitted": unfitted,
