@@ -50,6 +50,14 @@ parser.add_argument('--ckpt', dest='ckpt', default=None,
                          'checkpointing; SURVEY.md §5)')
 parser.add_argument('--ckpt-every', dest='ckpt_every', default=10,
                     help='Checkpoint interval in time steps')
+parser.add_argument('--bfr', dest='bfr', type=float, default=None,
+                    help='basis-function-removal diagonal tolerance '
+                         '(common.py:261-332 trimNodes). The reference TG '
+                         'passes bfr_tol=None and leans on MUMPS null-pivot '
+                         'detection (common.py:535-539); the iterative path '
+                         'has no such crutch, so coarse synthetic cuts with '
+                         'unsupported bg dofs need an explicit trim '
+                         '(observed: ref 1 synthetic Newton divergence)')
 parser.add_argument('--pin-pressure', dest='pin_pressure', default=False,
                     help="Pin one supported pressure dof (removes the "
                          "enclosed-flow constant-pressure null mode; "
@@ -179,6 +187,7 @@ for step in range(start_step, N_STEPS):
         linear_pc=args.pc,
         lattice_shape=lattice_shape if args.pc == 'mg' else None,
         n_fields=3,
+        bfr_tol=args.bfr,
         zero_ids=zero_ids,
         monitor_newton=True,
         monitor_linear=False,
