@@ -64,11 +64,15 @@ def _binned_reducers_cached(form, M, shape, dtype):
 
 
 def _probe_chunk(A, dtype) -> int | None:
-    """Probe columns per chunk so the stacked mv_multi's dominant live
-    temporary — the (k, ne, nE) element gather — stays under
-    IIFEA_PROBE_BUDGET_MB (default 8192), counting ~4 gather-sized temps in
-    flight per column. A radius-3 probe in 3D is 343 columns; unchunked on a
-    ~1.6M-element quadratic foreground that is a >200 GB allocation."""
+    """Probe columns per chunk so the stacked mv_multi's live temporaries —
+    the (k, ne, nE) element gather, the accumulator, and one (k, ne, nE)
+    product per local dof b (Form.matvec_multi's unrolled FMA sum) — stay
+    under IIFEA_PROBE_BUDGET_MB (default 2048). A radius-3 probe in 3D is
+    343 columns; unchunked on a ~1.6M-element quadratic foreground that is a
+    >200 GB allocation. Measured on the v5e (15.75 G hbm): the elasticity
+    workload bench at nE=754,974 / ne=6 / k=50 planned 6.43 G padded but
+    69% allocator fragmentation pushed it to 20.9 G — hence the honest
+    (ne + 3) temp count and a default budget far under physical hbm."""
     import os
 
     try:
@@ -76,13 +80,17 @@ def _probe_chunk(A, dtype) -> int | None:
     except AttributeError:
         return None
     per_col = 0
+    n_temps = 4
     for (dom, _) in terms:
         ne, nE = dom.eldofsT.shape
-        per_col = max(per_col, ne * nE)
+        if ne * nE > per_col:
+            per_col = ne * nE
+            n_temps = ne + 3
     if per_col == 0:
         return None
-    budget = float(os.environ.get("IIFEA_PROBE_BUDGET_MB", 8192)) * 2 ** 20
-    return max(int(budget // (4 * per_col * np.dtype(dtype).itemsize)), 1)
+    budget = float(os.environ.get("IIFEA_PROBE_BUDGET_MB", 2048)) * 2 ** 20
+    return max(int(budget // (n_temps * per_col * np.dtype(dtype).itemsize)),
+               1)
 
 
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
