@@ -632,7 +632,11 @@ def main():
              "--dim", str(args.dim), "--rtol", str(args.rtol)],
             capture_output=True, text=True, env=env, timeout=3600,
         )
-        cache[key] = json.loads(res.stdout.strip().splitlines()[-1])
+        # last JSON line, not last line: the config.setup atexit marker
+        # ("[iifea_tpu] effective platform: cpu") prints after the record
+        payload = [ln for ln in res.stdout.strip().splitlines()
+                   if ln.startswith("{")]
+        cache[key] = json.loads(payload[-1])
         cache[key]["recorded_on"] = os.uname().nodename
         json.dump(cache, open(BASELINE_CACHE, "w"), indent=1)
     base = cache[key]
