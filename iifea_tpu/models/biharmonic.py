@@ -33,6 +33,7 @@ from iifea_tpu.ops.assembly import (
     build_cell_domain,
     build_facet_domain,
     integrate,
+    lap_phi,
 )
 
 
@@ -88,11 +89,14 @@ class BiharmonicProblem:
         self.elim_counts = (n_cell_elim, n_facet_elim)
         cells = np.where(material == block_id)[0]
         facets = np.where(fclass == surf_id)[0]
+        # "lap": only the basis Laplacian is ever used below — shipping the
+        # full 4D Hessian through the chunked assembly scan OOMs at bench
+        # scale (21x lane-padding on the tiny (dim,dim) axes, round 4)
         self.cell_dom = build_cell_domain(
-            self.space, cells, k, with_hessian=True, dtype=dtype
+            self.space, cells, k, with_hessian="lap", dtype=dtype
         )
         self.facet_dom = build_facet_domain(
-            self.space, facets, k, with_hessian=True, dtype=dtype
+            self.space, facets, k, with_hessian="lap", dtype=dtype
         )
         self.form = Form(
             self.space,
@@ -107,10 +111,10 @@ class BiharmonicProblem:
 
         def kern(u_loc, aux_loc, ctx, params):
             U = u_loc[:, 0]
-            lap_phi = jnp.einsum("qbdd->qb", ctx.hess)
-            lap_u = lap_phi @ U
+            lphi = lap_phi(ctx)
+            lap_u = lphi @ U
             fx = jax.vmap(f)(ctx.x)
-            r = jnp.einsum("q,q,qb->b", ctx.w, lap_u, lap_phi)
+            r = jnp.einsum("q,q,qb->b", ctx.w, lap_u, lphi)
             r = r - jnp.einsum("q,q,qb->b", ctx.w, fx, ctx.phi)
             return r[:, None]
 
@@ -125,10 +129,10 @@ class BiharmonicProblem:
             U = u_loc[:, 0]
             n = ctx.n
             h = ctx.h
-            lap_phi = jnp.einsum("qbdd->qb", ctx.hess)
+            lphi = lap_phi(ctx)
             gphin = jnp.einsum("qbd,d->qb", ctx.gphi, n)
             uq = ctx.phi @ U
-            lap_u = lap_phi @ U
+            lap_u = lphi @ U
             gun = gphin @ U
             gq = jax.vmap(u_ex)(ctx.x)
             ggn = jnp.einsum("qd,d->q", jax.vmap(grad_u_ex)(ctx.x), n)
@@ -137,7 +141,7 @@ class BiharmonicProblem:
             # − ∫ Δu (∇v·n)  (biharmonic.py:201)
             r = -jnp.einsum("q,q,qb->b", w, lap_u, gphin)
             # − sgn ∫ Δv (∇u·n − ∇g·n)  (:204, :210)
-            r = r - sgn * jnp.einsum("q,q,qb->b", w, gun - ggn, lap_phi)
+            r = r - sgn * jnp.einsum("q,q,qb->b", w, gun - ggn, lphi)
             # + β h⁻¹ ∫ (∇u·n − ∇g·n)(∇v·n)  (:205, :211)
             r = r + (beta / h) * jnp.einsum("q,q,qb->b", w, gun - ggn, gphin)
             # + α h⁻³ ∫ (u − g) v  (:206, :212)
@@ -170,8 +174,8 @@ class BiharmonicProblem:
             return jnp.einsum("q,q->", ctx.w, e**2) / ctx.h
 
         def lap_e_sq(u_loc, ctx):
-            lap_phi = jnp.einsum("qbdd->qb", ctx.hess)
-            e = lap_phi @ u_loc[:, 0] - jax.vmap(lap_u_ex)(ctx.x)
+            lphi = lap_phi(ctx)
+            e = lphi @ u_loc[:, 0] - jax.vmap(lap_u_ex)(ctx.x)
             return jnp.einsum("q,q->", ctx.w, e**2)
 
         def ex_sq(u_loc, ctx):

@@ -59,6 +59,12 @@ class CellCtx(NamedTuple):
     x: jnp.ndarray
     h: jnp.ndarray
     hess: jnp.ndarray | None
+    # basis Laplacian planes (nq, nb) — populated instead of the full hess
+    # when the domain was built with with_hessian="lap"; Laplacian-only
+    # kernels (biharmonic) must prefer it: the 4D hess carries tiny (dim,dim)
+    # trailing axes that XLA:TPU lays out with the nb axis on the 128-lane
+    # minor (21x pad expansion at bench scale, measured round 4)
+    lap: jnp.ndarray | None = None
 
 
 class FacetCtx(NamedTuple):
@@ -69,16 +75,32 @@ class FacetCtx(NamedTuple):
     h: jnp.ndarray
     n: jnp.ndarray
     hess: jnp.ndarray | None
+    lap: jnp.ndarray | None = None
+
+
+def lap_phi(ctx):
+    """Basis Laplacian (nq, nb): the precomputed plane when available, else
+    the trace of the full physical Hessian."""
+    if ctx.lap is not None:
+        return ctx.lap
+    return jnp.einsum("qbdd->qb", ctx.hess)
 
 
 def _register_dataclass_pytree(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
+    static = tuple(getattr(cls, "_static_fields", ()))
+    dyn = [f for f in fields if f not in static]
 
     def flatten(obj):
-        return tuple(getattr(obj, f) for f in fields), None
+        return (
+            tuple(getattr(obj, f) for f in dyn),
+            tuple(getattr(obj, f) for f in static),
+        )
 
-    def unflatten(_, leaves):
-        return cls(*leaves)
+    def unflatten(aux, leaves):
+        kw = dict(zip(dyn, leaves))
+        kw.update(zip(static, aux))
+        return cls(**kw)
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls
@@ -100,6 +122,12 @@ class CellDomain:
     scat_gidx: jnp.ndarray    # (Kmax, T) transpose-gather indices (+1,
                               # 0 = padding) — scatter-free assembly
     scat_touched: jnp.ndarray | None  # touched dof ids (compact table) or None
+    # "full": ctx.hess = Jinvᵀ Href Jinv (nq,nb,dim,dim per element);
+    # "lap": ctx.lap = tr(hess) only — avoids materializing the 4D hess whose
+    # tiny trailing dims XLA:TPU pads catastrophically (see CellCtx.lap)
+    hess_mode: str = "full"
+
+    _static_fields = ("hess_mode",)
 
     @property
     def n_elem(self) -> int:
@@ -121,14 +149,37 @@ class CellDomain:
             JinvT, wdetT, xqT, h = d
             nE = wdetT.shape[-1]
             gphi = jnp.einsum("qbd,deE->qbeE", self.gphi_ref, JinvT)
-            # hess_phys[c,f] = Σ_{d,e} Jinv[d,c] Href[d,e] Jinv[e,f] (affine)
-            hess = jnp.einsum(
-                "dcE,qbde,efE->qbcfE", JinvT, self.hess_ref, JinvT
-            ) if self.hess_ref.size else None
+            hess = lap = None
+            if self.hess_ref.size:
+                if self.hess_mode == "lap":
+                    # lap[q,b,E] = Σ_{d,e} Href[q,b,d,e] G[d,e,E] with
+                    # G = Jinv Jinvᵀ (affine). Unrolled over the tiny (d,e)
+                    # dims as plane FMAs — a dot_general contraction this
+                    # narrow gets a lane-padded layout on TPU (file header)
+                    dim_ = JinvT.shape[0]
+                    G = [
+                        [
+                            sum(JinvT[d, c] * JinvT[e, c]
+                                for c in range(dim_))
+                            for e in range(dim_)
+                        ]
+                        for d in range(dim_)
+                    ]
+                    href = self.hess_ref
+                    lap = sum(
+                        href[:, :, d, e, None] * G[d][e][None, None, :]
+                        for d in range(dim_)
+                        for e in range(dim_)
+                    )
+                else:
+                    # hess_phys[c,f] = Σ_{d,e} Jinv[d,c] Href[d,e] Jinv[e,f]
+                    hess = jnp.einsum(
+                        "dcE,qbde,efE->qbcfE", JinvT, self.hess_ref, JinvT
+                    )
             phi = jnp.broadcast_to(
                 self.phi[..., None], self.phi.shape + (nE,)
             )
-            return CellCtx(phi, gphi, wdetT, xqT, h, hess)
+            return CellCtx(phi, gphi, wdetT, xqT, h, hess, lap)
 
         return data, make_ctx
 
@@ -141,13 +192,17 @@ class FacetDomain:
     eldofsT: jnp.ndarray      # (ne, nF) plus-cell flattened dof ids
     phiT: jnp.ndarray         # (nq, nb, nF)  per-facet tables
     gphiT: jnp.ndarray        # (nq, nb, dim, nF) physical gradients
-    hessT: jnp.ndarray        # (nq, nb, dim, dim, nF) physical hessians
+    hessT: jnp.ndarray        # (nq, nb, dim, dim, nF) physical hessians —
+                              # or (nq, nb, nF) Laplacian planes ("lap" mode)
     wT: jnp.ndarray           # (nq, nF) = wq * facet measure
     xqT: jnp.ndarray          # (nq, dim, nF)
     h: jnp.ndarray            # (nF,) plus-cell diameter
     normalT: jnp.ndarray      # (dim, nF) outward unit normal of plus cell
     scat_gidx: jnp.ndarray
     scat_touched: jnp.ndarray | None
+    hess_mode: str = "full"   # see CellDomain.hess_mode
+
+    _static_fields = ("hess_mode",)
 
     @property
     def n_elem(self) -> int:
@@ -165,8 +220,13 @@ class FacetDomain:
 
         def make_ctx(d):
             phi, gphi, w, xq, h, normal = d[:6]
-            hess = d[6] if has_hess else None
-            return FacetCtx(phi, gphi, w, xq, h, normal, hess)
+            hess = lap = None
+            if has_hess:
+                if self.hess_mode == "lap":
+                    lap = d[6]
+                else:
+                    hess = d[6]
+            return FacetCtx(phi, gphi, w, xq, h, normal, hess, lap)
 
         return data, make_ctx
 
@@ -274,7 +334,7 @@ def build_cell_domain(
     space: FunctionSpace,
     cell_ids: np.ndarray,
     quad_degree: int,
-    with_hessian: bool = False,
+    with_hessian: bool | str = False,   # True | False | "lap" (CellCtx.lap)
     dtype=np.float64,
 ) -> CellDomain:
     mesh = space.mesh
@@ -313,6 +373,7 @@ def build_cell_domain(
         hess_ref=jnp.asarray(hess_ref.astype(dtype)),
         scat_gidx=gidx,
         scat_touched=touched,
+        hess_mode="lap" if with_hessian == "lap" else "full",
     )
     dom.flat_eldofs_np = fl  # host copy: avoids device downloads in setup paths
     return dom
@@ -322,7 +383,7 @@ def build_facet_domain(
     space: FunctionSpace,
     facet_ids: np.ndarray,
     quad_degree: int,
-    with_hessian: bool = False,
+    with_hessian: bool | str = False,   # True | False | "lap" (FacetCtx.lap)
     dtype=np.float64,
 ) -> FacetDomain:
     """Builds the '+'-restricted facet domain for interior-facet (dS) or
@@ -397,7 +458,11 @@ def build_facet_domain(
 
     phi = phi_tab[plus_local]                     # (nF, nq, nb)
     gphi = np.einsum("Fqbd,Fde->Fqbe", gphi_tab[plus_local], Jinv)
-    if with_hessian:
+    if with_hessian == "lap":
+        # store Laplacian planes only: tr(Jinvᵀ Href Jinv) = Href : (JinvJinvᵀ)
+        G = np.einsum("Fdc,Fec->Fde", Jinv, Jinv)
+        hess = np.einsum("Fqbde,Fde->Fqb", hess_tab[plus_local], G)
+    elif with_hessian:
         # hess_phys[c,f] = sum_{d,e} Jinv[d,c] Href[d,e] Jinv[e,f] (affine map)
         hess = np.einsum(
             "Fdc,Fqbde,Fef->Fqbcf", Jinv, hess_tab[plus_local], Jinv
@@ -426,6 +491,7 @@ def build_facet_domain(
         normalT=soa(nrm),
         scat_gidx=gidx,
         scat_touched=touched,
+        hess_mode="lap" if with_hessian == "lap" else "full",
     )
     dom.flat_eldofs_np = fl
     return dom
