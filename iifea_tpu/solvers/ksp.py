@@ -111,154 +111,216 @@ def _krylov_solve(A, b, x0, diag, rtol, atol, max_it, method, pc, restart):
     return krylov.gmres(A.mv, b, x0, restart=restart, **kw)
 
 
+# Every jitted helper below lives at module scope: defining jit wrappers
+# inside _mg_solve (a fresh lambda per call) made EVERY solve_ksp(pc='mg')
+# re-trace and re-compile the probe and Krylov graphs — measured at ~100 s
+# per repeat solve on the elasticity workload bench (round 4). Module-level
+# functions hit jax's jit cache on repeat calls with the same form/M.
+
+
+@partial(jax.jit,
+         static_argnames=("shape", "n_fields", "radius", "dtn", "chunk"))
+def _probe_block(A, shape, n_fields, radius, dtn, chunk):
+    from iifea_tpu.ops.stencil import (
+        StencilOperatorBlock2D,
+        StencilOperatorBlock3D,
+    )
+
+    opB = (StencilOperatorBlock2D if len(shape) == 2
+           else StencilOperatorBlock3D)
+    return opB.probe_multi(
+        A.mv_multi, shape, n_fields=n_fields, radius=radius,
+        dtype=jnp.dtype(dtn), chunk=chunk,
+    )
+
+
+@partial(jax.jit, static_argnames=("shape", "radius", "dtn", "chunk"))
+def _probe_general(A, shape, radius, dtn, chunk):
+    from iifea_tpu.ops.stencil import StencilOperator2D, StencilOperator3D
+
+    op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
+    return op.probe_multi(
+        A.mv_multi, shape, radius=radius, dtype=jnp.dtype(dtn), chunk=chunk,
+    )
+
+
+@partial(jax.jit, static_argnames=("shape", "dtn"))
+def _probe_binned_2d(reds, blocks, shape, dtn):
+    from iifea_tpu.ops import lattice_bin
+    from iifea_tpu.ops.stencil import StencilOperator2D
+
+    dt = jnp.dtype(dtn)
+    Y = lattice_bin.probe_y_binned(reds, [K.astype(dt) for K in blocks])
+    return StencilOperator2D.from_probe_y(Y, shape, radius=2, dtype=dt)
+
+
+@partial(jax.jit, static_argnames=("shape", "dtn"))
+def _probe_binned_3d(reds, blocks, shape, dtn):
+    from iifea_tpu.ops import cell_window
+    from iifea_tpu.ops.stencil import StencilOperator3D
+
+    dt = jnp.dtype(dtn)
+    # fused slab-scan probe: compact blocks in, no slot-bound K and no
+    # materialized G (those two OOMed the 16 GB chip at 1M dofs, round 4)
+    C = cell_window.stencil_planes_windows(reds, blocks, dtype=dt)
+    return StencilOperator3D(C, shape, 2)
+
+
+@partial(jax.jit, static_argnames=("method", "max_it", "restart"))
+def _run_stencil_krylov(S, mgp, Q, b, x0, rtol, atol, method, max_it,
+                        restart):
+    """Krylov on a probed stencil operator, MG(+deflation) preconditioned."""
+    if mgp is not None:
+        if Q is None:
+            minv = mgp.minv
+        else:
+            def minv(r):
+                r = r - Q.T @ (Q @ r)
+                z = mgp.minv(r)
+                return z - Q.T @ (Q @ z)
+        # mv_ref, not the Pallas mv: the V-cycle contains transfer
+        # convolutions, and a Pallas custom call in the same loop body
+        # forces them into a degenerate slow conv emitter (PERF.md)
+        mv = S.mv_ref if hasattr(S, "mv_ref") else S.mv
+    else:
+        d = S.diag()
+        invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+        minv = lambda r: invd * r
+        mv = S.mv
+    kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+    if method == "cg":
+        # check_every=4 (not the 25 default): with an MG V-cycle per
+        # iteration, over-running the tolerance by up to check_every-1
+        # iterations costs far more than the extra convergence-check dots
+        return krylov.cg(mv, b, x0, check_every=4, **kw)
+    return krylov.gmres(mv, b, x0, restart=restart, **kw)
+
+
+@jax.jit
+def _residual_rel(A, b, x):
+    r = b - A.mv(x)
+    return r, jnp.linalg.norm(r) / jnp.linalg.norm(b)
+
+
+def _deflation_space(S, n_fields, dtype):
+    """Field-constant null-mode deflation. Enclosed-flow NS (TG class:
+    velocity Dirichlet everywhere, no pressure BC) carries an exact
+    constant-pressure null mode; the reference's plain GMRES+jacobi
+    tolerates it silently, but a V-cycle's coarse (pseudo-)inverse
+    amplifies near-null content into O(1/sigma) garbage. Detect each
+    field's supported-constant vector with one matvec and project it
+    out of the preconditioner's input and output."""
+    nn = S.nn
+    dgf = jnp.stack(
+        [S.point_block_diag()[f, f] for f in range(n_fields)]
+    )                                                  # (nF, nn)
+    sig = float(jnp.abs(S.coeffs).sum(axis=(1, 2)).max())
+    qs = []
+    for f in range(n_fields):
+        v = jnp.zeros((n_fields, nn), dtype)
+        v = v.at[f].set((jnp.abs(dgf[f]) > 0).astype(dtype))
+        v = v.reshape(-1)
+        vn = float(jnp.linalg.norm(v))
+        if vn == 0.0:
+            continue
+        v = v / vn
+        if float(jnp.linalg.norm(S.mv(v))) < 1e-8 * sig:
+            qs.append(v)
+    return jnp.stack(qs) if qs else None
+
+
 def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
-              n_fields=1, stencil_radius=2, restart=300):
+              n_fields=1, stencil_radius=2, restart=300, mixed=None):
     """Stencil-probe the projected operator and MG-precondition the Krylov
     solve (the 'mg' pc): the bench.py fast path as a library feature.
 
-    Scalar 2D and 3D lattices and block (multi-field) 2D lattices get the
+    Scalar 2D and 3D lattices and block (multi-field) 2D/3D lattices get the
     geometric-multigrid V-cycle (StencilMultigrid / StencilMultigrid3D /
     StencilMultigridBlock) — always the dense shifted-FMA matvec instead of
-    the gather-bound general path."""
+    the gather-bound general path.
+
+    ``mixed`` (default: auto — on for f64 systems living on a TPU backend,
+    where f64 is software-emulated): probe, MG, and Krylov run in f32; the
+    f32 correction is iteratively refined against the true f64 operator
+    (one general matvec per pass) until the f64 relative residual meets
+    rtol — the same double-float-free refinement the Poisson fast path uses
+    (solvers/lattice_fast.py), keeping emulated f64 off the hot loop."""
     from iifea_tpu.ops.multigrid import (
         StencilMultigrid,
         StencilMultigrid3D,
         StencilMultigridBlock,
         StencilMultigridBlock3D,
     )
-    from iifea_tpu.ops.stencil import (
-        StencilOperator2D,
-        StencilOperator3D,
-        StencilOperatorBlock2D,
-        StencilOperatorBlock3D,
-    )
 
     shape = tuple(lattice_shape)
+    if mixed is None:
+        mixed = (
+            b.dtype == jnp.float64
+            and next(iter(b.devices())).platform == "tpu"
+        )
+    sdt = np.dtype(np.float32) if mixed else np.dtype(b.dtype)
+    dtn = sdt.name
+
+    # -- probe the projected operator into stencil form ----------------------
     if n_fields > 1:
-        opB = (StencilOperatorBlock2D if len(shape) == 2
-               else StencilOperatorBlock3D)
-        mgB = (StencilMultigridBlock if len(shape) == 2
-               else StencilMultigridBlock3D)
-        pchunk = _probe_chunk(A, b.dtype)
-        S = jax.jit(
-            lambda A_: opB.probe_multi(
-                A_.mv_multi, shape, n_fields=n_fields, radius=stencil_radius,
-                dtype=b.dtype, chunk=pchunk,
-            )
-        )(A)
-        mg = mgB(S)
+        pchunk = _probe_chunk(A, sdt)
+        S = _probe_block(A, shape, n_fields, stencil_radius, dtn, pchunk)
+        mg = (StencilMultigridBlock if len(shape) == 2
+              else StencilMultigridBlock3D)(S)
+        Q = _deflation_space(S, n_fields, sdt)
+    else:
+        S = None
+        if (A.trim_mask is None and A.form.space is not None
+                and stencil_radius == 2):
+            # the binned/window reducers assume the degree-1 simplex lattice
+            # (radius-2) geometry; other radii (e.g. 3 for quadratic B-spline
+            # backgrounds) take the general colored probe
+            reducers = _binned_reducers_cached(A.form, A.M, shape, sdt.type)
+            if reducers is not None:
+                probe = (_probe_binned_2d if len(shape) == 2
+                         else _probe_binned_3d)
+                S = probe(reducers, A.blocks, shape, dtn)
+        if S is None:
+            pchunk = _probe_chunk(A, sdt)
+            S = _probe_general(A, shape, stencil_radius, dtn, pchunk)
+        mg = (StencilMultigrid(S) if len(shape) == 2
+              else StencilMultigrid3D(S))
+        Q = None
 
-        # Field-constant null-mode deflation. Enclosed-flow NS (TG class:
-        # velocity Dirichlet everywhere, no pressure BC) carries an exact
-        # constant-pressure null mode; the reference's plain GMRES+jacobi
-        # tolerates it silently, but a V-cycle's coarse (pseudo-)inverse
-        # amplifies near-null content into O(1/sigma) garbage. Detect each
-        # field's supported-constant vector with one matvec and project it
-        # out of the preconditioner's input and output.
-        nn = S.nn
-        dgf = jnp.stack(
-            [S.point_block_diag()[f, f] for f in range(n_fields)]
-        )                                                  # (nF, nn)
-        sig = float(jnp.abs(S.coeffs).sum(axis=(1, 2)).max())
-        qs = []
-        for f in range(n_fields):
-            v = jnp.zeros((n_fields, nn), b.dtype)
-            v = v.at[f].set((jnp.abs(dgf[f]) > 0).astype(b.dtype))
-            v = v.reshape(-1)
-            vn = float(jnp.linalg.norm(v))
-            if vn == 0.0:
-                continue
-            v = v / vn
-            if float(jnp.linalg.norm(S.mv(v))) < 1e-8 * sig:
-                qs.append(v)
-        Q = jnp.stack(qs) if qs else None
-
-        @partial(jax.jit, static_argnames=("method", "max_it", "restart"))
-        def run(S, mgp, Q, b, x0, rtol, atol, method, max_it, restart):
-            if Q is None:
-                minv = mgp.minv
-            else:
-                def minv(r):
-                    r = r - Q.T @ (Q @ r)
-                    z = mgp.minv(r)
-                    return z - Q.T @ (Q @ z)
-            kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
-            if method == "cg":
-                return krylov.cg(S.mv, b, x0, **kw)
-            return krylov.gmres(S.mv, b, x0, restart=restart, **kw)
-
-        return run(
+    if not mixed:
+        return _run_stencil_krylov(
             S, mg, Q, b, x0, jnp.asarray(rtol, b.dtype),
             jnp.asarray(atol, b.dtype), method, int(max_it), int(restart),
         )
 
-    op = StencilOperator2D if len(shape) == 2 else StencilOperator3D
-    S = None
-    if (A.trim_mask is None and A.form.space is not None
-            and stencil_radius == 2):
-        # the binned/window reducers assume the degree-1 simplex lattice
-        # (radius-2) geometry; other radii (e.g. 3 for quadratic B-spline
-        # backgrounds) take the general colored probe
-        # gather-free binned probe (ops/lattice_bin.py in 2D, cell-window
-        # congruence assembly in 3D) when the term geometry permits; falls
-        # back to the general probe otherwise
-        from iifea_tpu.ops import cell_window, lattice_bin
-
-        reducers = _binned_reducers_cached(
-            A.form, A.M, shape, np.dtype(b.dtype).type
+    # -- mixed precision: f32 MG-Krylov passes + f64 refinement --------------
+    b_norm = float(jnp.linalg.norm(b))
+    rtol_eff = max(float(rtol), float(atol) / max(b_norm, 1e-300))
+    x64 = x0.astype(jnp.float64)
+    zero32 = jnp.zeros(b.shape, jnp.float32)
+    iters, relf, hist = 0, 1.0, []
+    for _ in range(12):
+        r64, rel = _residual_rel(A, b, x64)
+        relf = float(rel)
+        hist.append(relf)
+        if relf < rtol_eff or iters >= int(max_it):
+            break
+        # contract only as far as this pass needs (0.25x margin absorbs the
+        # f32 apply error), clamped to the f32 floor
+        rtol_pass = min(max(0.25 * rtol_eff / relf, 1e-6), 3e-2)
+        dx, info = _run_stencil_krylov(
+            S, mg, Q, r64.astype(jnp.float32), zero32,
+            jnp.asarray(rtol_pass, jnp.float32), jnp.asarray(0.0, jnp.float32),
+            method, int(max_it), int(restart),
         )
-        if reducers is not None:
-            if len(shape) == 2:
-                @jax.jit
-                def _probe_binned(reds, blocks):
-                    Y = lattice_bin.probe_y_binned(reds, blocks)
-                    return StencilOperator2D.from_probe_y(
-                        Y, shape, radius=2, dtype=b.dtype
-                    )
-            else:
-                @jax.jit
-                def _probe_binned(reds, blocks):
-                    bound = [
-                        r.bind_blocks(K.astype(b.dtype))
-                        for r, K in zip(reds, blocks)
-                    ]
-                    C = cell_window.stencil_coeffs_windows(reds, bound)
-                    return StencilOperator3D(C, shape, 2)
-
-            S = _probe_binned(reducers, A.blocks)
-    if S is None:
-        pchunk = _probe_chunk(A, b.dtype)
-        S = jax.jit(
-            lambda A_: op.probe_multi(
-                A_.mv_multi, shape, radius=stencil_radius, dtype=b.dtype,
-                chunk=pchunk,
-            )
-        )(A)
-    mg = (
-        StencilMultigrid(S) if len(shape) == 2 else StencilMultigrid3D(S)
-    )
-
-    @partial(jax.jit, static_argnames=("method", "max_it", "restart"))
-    def run(S, mgp, b, x0, rtol, atol, method, max_it, restart):
-        if mgp is not None:
-            minv = mgp.minv
-            # mv_ref, not the Pallas mv: the V-cycle contains transfer
-            # convolutions, and a Pallas custom call in the same loop body
-            # forces them into a degenerate slow conv emitter (PERF.md)
-            mv = S.mv_ref if hasattr(S, "mv_ref") else S.mv
-        else:
-            d = S.diag()
-            invd = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
-            minv = lambda r: invd * r
-            mv = S.mv
-        kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
-        if method == "cg":
-            return krylov.cg(mv, b, x0, **kw)
-        return krylov.gmres(mv, b, x0, restart=restart, **kw)
-
-    return run(
-        S, mg, b, x0, jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
-        method, int(max_it), int(restart),
+        it_pass = int(info.iters)
+        iters += it_pass
+        x64 = x64 + dx.astype(jnp.float64)
+        if it_pass == 0:
+            break  # no progress possible (e.g. zero rhs)
+    return x64, krylov.SolveInfo(
+        jnp.asarray(iters), jnp.asarray(relf * b_norm),
+        jnp.asarray(relf < rtol_eff), jnp.asarray(hist),
     )
 
 
@@ -278,8 +340,13 @@ def solve_ksp(
     lattice_shape: tuple | None = None,
     n_fields: int = 1,
     stencil_radius: int = 2,
+    mixed: bool | None = None,
 ):
-    """Solve A u = b on the background space. Returns (u, info|None)."""
+    """Solve A u = b on the background space. Returns (u, info|None).
+
+    ``mixed`` applies to pc='mg' only (see _mg_solve): None = auto (f32
+    MG-Krylov + f64 refinement when the system is f64 on a TPU backend,
+    where f64 is software-emulated), True/False forces it."""
     method = method or "gmres"
     pc = pc or "jacobi"
     if pc in _NO_TPU_PC:
@@ -309,7 +376,7 @@ def solve_ksp(
         x, info = _mg_solve(A, b, x0, lattice_shape, method, rtol, atol,
                             max_it, n_fields=n_fields,
                             stencil_radius=stencil_radius,
-                            restart=gmres_restart)
+                            restart=gmres_restart, mixed=mixed)
         if monitor:
             _print_monitor(info)
         return x, info
