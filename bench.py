@@ -196,6 +196,9 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
             "probe": nb(bound) + nb(solver.reducers) + lev[0],
             "mg_build": lev[0] + sum(lev[1:]),
             "cg_per_iter": lev[0] + 3 * nvec32 + vcycle + 6 * nvec32,
+            # binned path: reducer apply_df over the bound tables; window
+            # path: general f64 matvec over the compact blocks (+ M tables,
+            # uncounted) — either way bound + vector streams dominate
             "residual_df": nb(bound) + 10 * nvec32,
         }
 

@@ -314,6 +314,114 @@ class CellWindowTerm:
                 )
         return jnp.stack(planes)
 
+    # -- fused bind+congruence+placement (the memory-bounded probe) --------------
+
+    def window_planes(self, K_el: jnp.ndarray, dtype=jnp.float64,
+                      radius: int = 2,
+                      slab_bytes: float = 1.5e9) -> jnp.ndarray:
+        """Stencil planes ((2r+1)^dim, *shape) of Mᵀ A_term M, fused.
+
+        Streams bbox x-slabs through bind -> E build -> congruence ->
+        placement inside one lax.scan, so neither the slot-bound element
+        blocks (ne, ne, L, nc) nor the window operators G (nc, w, w) are
+        ever materialized. At the 3D 1M-dof bench those two tensors are
+        4.7 GB + 4.5 GB in f64 — the round-4 OOM — while this path's peak
+        extra footprint is one slab's workspace (≤ ``slab_bytes``) plus the
+        plane accumulator itself.
+
+        ``K_el``: compact per-element blocks (ne, ne, nE) — NOT slot-bound;
+        binding happens per-slab via a perm gather. ``dtype=float64`` gives
+        a genuinely double-precision probe (TPU f64 dot_general is exact
+        emulation, measured 2e-15 rel err at ~3.2 TFLOP/s): in df mode the
+        extraction weights are reconstructed exactly as val_b + val_lo, so
+        the planes match the true projected operator to f64 roundoff and
+        the iterative-refinement residual can run on the stencil itself
+        instead of the reducer apply_df (la_utils.py:165-182 role, exact).
+        """
+        ne, km, L, nc = self.meta
+        w = self.w
+        dim = self.dim
+        m = 2 * radius + 1
+        starts, sizes = self.bbox
+        sx = sizes[0]
+        rest = int(np.prod(sizes[1:])) if dim > 1 else 1
+        dtype = jnp.dtype(dtype)
+        offs = _class_offsets(dim)
+        hi = jax.lax.Precision.HIGHEST
+
+        rows = K_el.astype(dtype).reshape(ne * ne, -1).T       # (nE, ne²)
+        rows = jnp.concatenate(
+            [jnp.zeros((1, ne * ne), dtype), rows], axis=0
+        )
+
+        # slab size from the workspace budget: E + T (ne·w each) + val
+        # (ne·km, counted twice for hi+lo) + bound K (ne²), all (L, n_sl)
+        per_x = rest * L * (2 * ne * w + 2 * ne * km + ne * ne)
+        per_x *= dtype.itemsize
+        slab = max(1, min(int(slab_bytes // max(per_x, 1)), sx))
+
+        def slab_contrib(planes, i0, n_x):
+            """Accumulate the cells of bbox x-rows [i0, i0+n_x)."""
+            lo = i0 * rest
+            n_sl = n_x * rest
+            val = jax.lax.dynamic_slice_in_dim(
+                self.val_b, lo, n_sl, 3
+            ).astype(dtype)
+            if self.val_lo is not None and dtype == jnp.float64:
+                val = val + jax.lax.dynamic_slice_in_dim(
+                    self.val_lo, lo, n_sl, 3
+                ).astype(dtype)
+            kap = jax.lax.dynamic_slice_in_dim(self.kappa, lo, n_sl, 3)
+            prm = jax.lax.dynamic_slice_in_dim(self.perm, lo, n_sl, 1)
+            Kc = rows[prm.reshape(-1)].reshape(L, n_sl, ne, ne)
+            cols = []
+            for d in range(w):
+                acc = jnp.zeros((ne, L, n_sl), dtype)
+                for ka in range(km):
+                    acc = acc + val[:, ka] * (kap[:, ka] == d).astype(dtype)
+                cols.append(acc)
+            E = jnp.stack(cols, axis=1)                  # (ne, w, L, n_sl)
+            E_b = jnp.transpose(E, (2, 3, 0, 1))         # (L, n_sl, ne, w)
+            T = jax.lax.dot_general(
+                Kc, E_b, (((3,), (2,)), ((0, 1), (0, 1))), precision=hi,
+            )                                            # (L, n_sl, ne, w)
+            G = jax.lax.dot_general(
+                E_b, T, (((0, 2), (0, 2)), ((1,), (1,))), precision=hi,
+            )                                            # (n_sl, w, w)
+            G = G.reshape((n_x,) + tuple(sizes[1:]) + (w, w))
+            reg = (n_x,) + tuple(sizes[1:])
+            for d1 in range(w):
+                place_r = tuple(
+                    starts[d] + int(offs[d1, d]) for d in range(1, dim)
+                )
+                px = starts[0] + int(offs[d1, 0]) + i0
+                for d2 in range(w):
+                    o = offs[d2] - offs[d1]
+                    k = 0
+                    for d in range(dim):
+                        k = k * m + int(o[d]) + radius
+                    at = (k, px) + place_r
+                    cur = jax.lax.dynamic_slice(planes, at, (1,) + reg)
+                    contrib = G[..., d1, d2].reshape((1,) + reg)
+                    planes = jax.lax.dynamic_update_slice(
+                        planes, cur + contrib, at
+                    )
+            return planes
+
+        planes = jnp.zeros((m ** dim,) + self.shape, dtype)
+        n_full = sx // slab
+        if n_full:
+            def body(p, i):
+                return slab_contrib(p, i * slab, slab), None
+
+            planes, _ = jax.lax.scan(
+                body, planes, jnp.arange(n_full), unroll=1
+            )
+        tail = sx - n_full * slab
+        if tail:
+            planes = slab_contrib(planes, n_full * slab, tail)
+        return planes
+
     # -- rhs projection + df operator application -------------------------------
 
     def _x_class_slices(self, x_nd):
@@ -505,6 +613,18 @@ def stencil_coeffs_windows(reducers, bound_blocks) -> jnp.ndarray:
     for red, Kb in zip(reducers, bound_blocks):
         G = red.window_g(Kb)
         Ct = red.stencil_coeffs(G)
+        C = Ct if C is None else C + Ct
+    return C
+
+
+def stencil_planes_windows(reducers, K_els, dtype=jnp.float64,
+                           slab_bytes: float = 1.5e9) -> jnp.ndarray:
+    """Fused memory-bounded form of :func:`stencil_coeffs_windows`: planes
+    of Mᵀ A M from COMPACT per-term element blocks (ne, ne, nE) — no
+    slot-bound K, no materialized G (see CellWindowTerm.window_planes)."""
+    C = None
+    for red, K in zip(reducers, K_els):
+        Ct = red.window_planes(K, dtype=dtype, slab_bytes=slab_bytes)
         C = Ct if C is None else C + Ct
     return C
 

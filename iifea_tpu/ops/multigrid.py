@@ -223,13 +223,50 @@ def _offgrid_mask3(shape, radius) -> np.ndarray:
     return mask
 
 
+def _axis_indicators(n, radius):
+    """1D in-grid indicators per offset: [(off, (n,) 0/1 vector)].
+
+    The off-grid mask is separable — mask[d] = mx(oi) ⊗ my(oj) (⊗ mz(ok))
+    — so building it from per-axis iotas INSIDE the jit keeps the graph
+    free of (m^dim, *shape) host constants: baking the numpy mask made the
+    fine-level _coarsen3 HLO carry a ~0.5 GB constant at 101³, which
+    overflowed the remote-compile request (HTTP 413, round 4). The
+    broadcasted products also fuse into the coeff multiply without ever
+    materializing the full mask."""
+    ii = jnp.arange(n)
+    return [
+        ((ii + o >= 0) & (ii + o < n)) for o in range(-radius, radius + 1)
+    ]
+
+
+def _masked_coeffs2(fine):
+    mx = _axis_indicators(fine.shape[0], fine.radius)
+    my = _axis_indicators(fine.shape[1], fine.radius)
+    m = 2 * fine.radius + 1
+    mask = jnp.stack([
+        (mx[a][:, None] & my[b][None, :]) for a in range(m) for b in range(m)
+    ]).astype(fine.dtype)
+    return fine.coeffs * mask
+
+
+def _masked_coeffs3(fine):
+    mx = _axis_indicators(fine.shape[0], fine.radius)
+    my = _axis_indicators(fine.shape[1], fine.radius)
+    mz = _axis_indicators(fine.shape[2], fine.radius)
+    m = 2 * fine.radius + 1
+    mask = jnp.stack([
+        (mx[a][:, None, None] & my[b][None, :, None] & mz[c][None, None, :])
+        for a in range(m) for b in range(m) for c in range(m)
+    ]).astype(fine.dtype)
+    return fine.coeffs * mask
+
+
 @jax.jit
 def _coarsen(fine: "StencilOperator2D") -> "StencilOperator2D":
     """Direct Galerkin coarse operator: one strided conv over the
     coefficient planes (see the derivation above)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
-    C = fine.coeffs * jnp.asarray(_offgrid_mask2(fine.shape, fine.radius),
-                                  fine.dtype)
+    C = _masked_coeffs2(fine)
     K = jnp.asarray(_rap_kernel2(fine.radius), fine.dtype)
     y = jax.lax.conv_general_dilated(
         C[None], K, window_strides=(2, 2), padding=((1, 1), (1, 1))
@@ -477,8 +514,7 @@ def _coarsen3_probe(fine: "StencilOperator3D") -> "StencilOperator3D":
 def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
     """3D direct Galerkin coarse operator (one strided conv, see _coarsen)."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
-    C = fine.coeffs * jnp.asarray(_offgrid_mask3(fine.shape, fine.radius),
-                                  fine.dtype)
+    C = _masked_coeffs3(fine)
     K = jnp.asarray(_rap_kernel3(fine.radius), fine.dtype)
     y = jax.lax.conv_general_dilated(
         C[None], K, window_strides=(2, 2, 2),
@@ -632,9 +668,7 @@ def _coarsen_block(fine: "StencilOperatorBlock2D") -> "StencilOperatorBlock2D":
     nF = fine.n_fields
     m2 = (2 * fine.radius + 1) ** 2
     nx1, ny1 = fine.shape
-    C = fine.coeffs * jnp.asarray(
-        _offgrid_mask2(fine.shape, fine.radius), fine.dtype
-    )
+    C = _masked_coeffs2(fine)
     K = jnp.asarray(_rap_kernel2(fine.radius), fine.dtype)
     y = jax.lax.conv_general_dilated(
         C.reshape(nF * nF, m2, nx1, ny1), K,
@@ -838,9 +872,7 @@ def _coarsen_block3(
     nF = fine.n_fields
     m3 = (2 * fine.radius + 1) ** 3
     nx1, ny1, nz1 = fine.shape
-    C = fine.coeffs * jnp.asarray(
-        _offgrid_mask3(fine.shape, fine.radius), fine.dtype
-    )
+    C = _masked_coeffs3(fine)
     K = jnp.asarray(_rap_kernel3(fine.radius), fine.dtype)
     y = jax.lax.conv_general_dilated(
         C.reshape(nF * nF, m3, nx1, ny1, nz1), K,

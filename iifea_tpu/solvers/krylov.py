@@ -50,7 +50,7 @@ def cg(
     rtol: float = 1e-8,
     atol: float = 1e-9,
     max_it: int = 10000,
-    check_every: int = 25,
+    check_every: int = 8,
 ):
     """Preconditioned conjugate gradients (KSPCG parity, common.py:561-562).
 
@@ -58,7 +58,10 @@ def cg(
     ``while_loop``: the data-dependent continuation test executes once per
     chunk, not per iteration — the hot path stays free of per-iteration
     control-flow decisions (a lagged-norm pattern; slight over-iteration past
-    the tolerance is possible and harmless).
+    the tolerance is possible and harmless). Default chunk 8: the check is
+    one vector norm + a device branch (~µs) against up to check_every−1
+    wasted matvecs, so small chunks win for any nontrivial operator
+    (VERDICT r3 weak #7 measured ~10% over-iteration at 25).
     """
     minv = minv or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0

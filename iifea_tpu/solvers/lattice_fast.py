@@ -11,11 +11,23 @@ class:
                        f32 MG-PCG passes, iteratively refined with
                        double-float binned residuals to the f64 target
 
-Scope: scalar P1 problems with one cell term and one boundary-facet term
-whose problem class provides ``rhs_df_tables``/``rhs_el_df`` and a P1 df
-stiffness (models/poisson.py). Construction raises
-``lattice_bin.LatticeBinError`` when the geometry cannot be binned — callers
-fall back to the general path (ops/projection.py + solve_ksp).
+Two modes (both end in f32 MG-PCG passes + f64 iterative refinement):
+
+  2D color-probe (default): df slot tables; residuals via the reducer
+      apply_df; rhs via the gather-free df projection. Needs the problem
+      class to provide ``rhs_df_tables``/``rhs_el_df`` and a P1 df
+      stiffness (models/poisson.py).
+  window (3D always, 2D under IIFEA_2D_WINDOW=1): f32 tables only; the
+      fused slab-scan probe (cell_window.window_planes) consumes COMPACT
+      f64 element blocks, and refinement residuals run on the exact
+      general operator (ops/projection.BackgroundOperator) — works for
+      any two-term P1 scalar form, and fits the 16 GB chip at the 3D
+      1M-dof bench where the slot-bound df pipeline OOMed (round 4).
+
+Scope: scalar P1 problems with one cell term and one boundary-facet term.
+Construction raises ``lattice_bin.LatticeBinError`` when the geometry
+cannot be binned — callers fall back to the general path
+(ops/projection.py + solve_ksp).
 """
 from __future__ import annotations
 
@@ -85,18 +97,34 @@ class BinnedLatticeSolver:
             self.reducers = lattice_bin.build_binned_projection(
                 form, M, self.shape, dtype=np.float32, df=True
             )
-        else:
-            self.reducers = cell_window.build_window_projection(
-                form, M, self.shape, dtype=np.float32, df=True
+            self.rhs_tables = prob.rhs_df_tables(self.reducers)
+            red_c = self.reducers[0]
+            self.JinvT_b = jnp.asarray(
+                red_c.bind_static(np.asarray(prob.cell_dom.JinvT))
             )
-        self.rhs_tables = prob.rhs_df_tables(self.reducers)
-        red_c = self.reducers[0]
-        self.JinvT_b = jnp.asarray(
-            red_c.bind_static(np.asarray(prob.cell_dom.JinvT))
-        )
-        self.wdetT_b = jnp.asarray(
-            red_c.bind_static(np.asarray(prob.cell_dom.wdetT))
-        )
+            self.wdetT_b = jnp.asarray(
+                red_c.bind_static(np.asarray(prob.cell_dom.wdetT))
+            )
+        else:
+            # Window path (3D, and 2D under IIFEA_2D_WINDOW): everything
+            # stays COMPACT and f32-probed, f64-refined generally —
+            # round-4 redesign after the 3D 1M-dof bench OOMed at 28 GB:
+            #   * no df tables (val_lo halved away): the f64 refinement
+            #     residual runs on the exact general operator
+            #     (BackgroundOperator.mv with the f64 element blocks)
+            #     instead of the reducer apply_df;
+            #   * no slot-bound f64 geometry (2.6 GB at 17x slot padding)
+            #     and no slot-bound element blocks (4.7 GB): the fused
+            #     slab-scan probe (cell_window.window_planes) binds
+            #     per-slab from the compact (ne, ne, nE) blocks;
+            #   * no f64 dot_general anywhere: XLA:TPU emulates f64 dots
+            #     by 8x bf16 operand decompositions whose tiny (ne, w)
+            #     minor axes lane-pad 4.7-32x (measured 28 GB at n_bg=32).
+            self.reducers = cell_window.build_window_projection(
+                form, M, self.shape, dtype=np.float32, df=False
+            )
+            self.rhs_tables = None
+            self.JinvT_b = self.wdetT_b = None
         gref = np.asarray(prob.cell_dom.gphi_ref)
         n_dofs, n_fields = form.n_dofs, form.n_fields
         facet_kernel = form.terms[1].kernel
@@ -119,22 +147,41 @@ class BinnedLatticeSolver:
             b_df = _project_rhs_df(reds, r_el)
             return b_df[0].astype(jnp.float64) + b_df[1].astype(jnp.float64)
 
+        def _facet_subform(facet_dom):
+            return _Form.tree_unflatten(
+                ((facet_kernel,), n_dofs, n_fields), (facet_dom,)
+            )
+
         @jax.jit
         def _assemble_K(JinvT_b, wdetT_b, facet_dom, u):
             K_cell_b = p1_stiffness_df_arrays(JinvT_b, wdetT_b, gref)
-            sub = _Form.tree_unflatten(
-                ((facet_kernel,), n_dofs, n_fields), (facet_dom,)
+            K_facet = dfm.df_from_f64(
+                _facet_subform(facet_dom).jacobian_blocks(u)[0]
             )
-            K_facet = dfm.df_from_f64(sub.jacobian_blocks(u)[0])
             return K_cell_b, K_facet
 
+        @jax.jit
+        def _assemble_win(frm, M_, u):
+            # one pass gives BOTH the compact f64 element blocks (probe +
+            # exact-residual operator) and the exact f64 rhs — no df, no
+            # Poisson-specific stiffness: the window path works for any
+            # two-term P1 scalar form
+            blocks, r = frm.jacobian_and_residual(u)
+            b64 = -M_.rmv(r)
+            return b64, blocks[0], blocks[1]
+
         def _assemble(reds, rhs_tbl, JinvT_b, wdetT_b, facet_dom, u):
+            if self._use_window:
+                return _assemble_win(form, self.M, u)
             b64 = _assemble_rhs(reds, rhs_tbl)
-            K_cell_b, K_facet = _assemble_K(JinvT_b, wdetT_b, facet_dom, u)
-            return b64, K_cell_b, K_facet
+            K_cell, K_facet = _assemble_K(JinvT_b, wdetT_b, facet_dom, u)
+            return b64, K_cell, K_facet
 
         @jax.jit
         def _bind_facet(reds, K_cell_b, K_facet):
+            if self._use_window:
+                # fused probe binds per-slab; keep blocks compact
+                return [K_cell_b, K_facet]
             return [K_cell_b, reds[1].bind_blocks_df(*K_facet)]
 
         @jax.jit
@@ -144,8 +191,10 @@ class BinnedLatticeSolver:
                 return StencilOperator2D.from_probe_y(
                     Y, self.shape, radius=2
                 )
-            C = cell_window.stencil_coeffs_windows(
-                reds, [Kb[0] for Kb in bound]
+            # fused f32 slab-scan probe straight from the compact blocks:
+            # no slot-bound K and no materialized G (the round-4 3D OOM)
+            C = cell_window.stencil_planes_windows(
+                reds, bound, dtype=jnp.float32
             )
             if self.dim == 2:
                 return StencilOperator2D(C, self.shape, 2)
@@ -158,6 +207,24 @@ class BinnedLatticeSolver:
             r_df = dfm.df_sub(dfm.df_from_f64(b64), y_df)
             r64 = dfm.df_to_f64(r_df)
             return r64, r_df[0], jnp.linalg.norm(r64) / jnp.linalg.norm(b64)
+
+        @jax.jit
+        def _residual_gen(A64, b64, x64):
+            # exact f64 residual on the general operator (MᵀA_fM as
+            # gather/apply/scatter with the f64 blocks) — la_utils.py's
+            # AT_R_A semantics, no probed-operator truncation in the loop
+            r64 = b64 - A64.mv(x64)
+            return (r64, r64.astype(jnp.float32),
+                    jnp.linalg.norm(r64) / jnp.linalg.norm(b64))
+
+        def _residual(reds, bound, b64, x64):
+            if self._use_window:
+                from iifea_tpu.ops.projection import BackgroundOperator
+
+                if self._A64 is None:
+                    self._A64 = BackgroundOperator(form, list(bound), self.M)
+                return _residual_gen(self._A64, b64, x64)
+            return _residual_df(reds, bound, b64, x64)
 
         @jax.jit
         def _cg32(S32, mg, r, rtol_pass):
@@ -175,9 +242,10 @@ class BinnedLatticeSolver:
         self._assemble_fn = _assemble
         self._bind_facet_fn = _bind_facet
         self._probe_fn = _probe
-        self._residual_fn = _residual_df
+        self._residual_fn = _residual
         self._cg_fn = _cg32
         self._accum_fn = _accum
+        self._A64 = None   # window path: general f64 operator (lazy)
 
     # -- pipeline stages (individually timeable) -------------------------------
 

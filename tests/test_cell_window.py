@@ -110,6 +110,40 @@ def test_window_df_apply_and_rhs_3d():
     assert rel < 1e-13, rel
 
 
+def test_window_planes_fused_matches_general_3d():
+    """The fused slab-scan probe (window_planes, compact K in, no bound K /
+    G materialization) reproduces the general probe to f64 roundoff — in
+    both df mode (val_b + val_lo reconstruction) and plain f32-table mode."""
+    prob, M, shape = _setup3d()
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    A = BackgroundOperator(prob.form, blocks, M)
+    S_ref = StencilOperator3D.probe_multi(
+        A.mv_multi, shape, radius=2, dtype=jnp.float64
+    )
+    C_ref = np.asarray(S_ref.coeffs)
+    scale = np.abs(C_ref).max()
+
+    red_df = cw.build_window_projection(prob.form, M, shape, df=True)
+    # small slab budget to force the scan + tail path
+    C64 = jax.jit(
+        lambda reds, Ks: cw.stencil_planes_windows(
+            reds, Ks, dtype=jnp.float64, slab_bytes=2e5
+        )
+    )(red_df, blocks)
+    assert np.abs(np.asarray(C64) - C_ref).max() < 1e-12 * scale
+
+    red_f32 = cw.build_window_projection(
+        prob.form, M, shape, dtype=np.float32
+    )
+    C32 = jax.jit(
+        lambda reds, Ks: cw.stencil_planes_windows(
+            reds, Ks, dtype=jnp.float32
+        )
+    )(red_f32, [K.astype(jnp.float32) for K in blocks])
+    assert np.abs(np.asarray(C32) - C_ref).max() < 1e-5 * scale
+
+
 def test_window_spill_raises():
     # n_fg=2 on n_bg=9: fg elements span ~4.5 bg cells with non-aligned
     # nodes, so an element's extraction targets exceed the {0..2}^3 window.
