@@ -309,6 +309,106 @@ class LatticeBinnedTerm2D:
             Y = Y.at[self.rows9[d]].add(acc[d])  # unique within one class
         return Y
 
+    # -- direct stencil assembly (no probe vectors) -----------------------------
+
+    def stencil_planes_bound(self, Kb: jnp.ndarray, radius: int = 2,
+                             slab_bytes: float = 1.0e9) -> jnp.ndarray:
+        """Stencil coefficient planes (25, nx1, ny1) of Mᵀ A_term M, assembled
+        DIRECTLY from the bound blocks — no probe vectors at all.
+
+        The 25-color probe re-reads every slot table once per color and pays
+        ne·km·(1+9) masked compare-FMAs per slot per color (~0.29 s of the 1M-
+        dof bench, launch/compute bound at 3.7 GB/s effective). But the color
+        machinery is redundant in the binned layout: ``kappa`` already says
+        which lattice offset every weight targets, so the matrix entry
+        A[base+δ(d1), base+δ(d2)] is just the window congruence
+        G[n, d1, d2] = Σ_{l,a,b} E[a,d1]·Kb[a,b]·E[b,d2] with
+        E[b,d] = Σ_kb val_b[b,kb]·[kappa==d] — one pass over the tables, two
+        batched small dot_generals, and 81 static slice/scatter placements at
+        offset δ(d2)−δ(d1). Same math as cell_window.window_planes, on the
+        binned df tables that fit HBM at the 2D headline size.
+
+        Dense (bbox) terms stream bbox x-row slabs through a lax.scan so the
+        (ne, 9, L, nc) E tensor is never materialized; compact (facet) terms
+        assemble in one shot and place via the 9 unique-row scatter classes.
+        Kb: (ne, ne, L, nc) bound element blocks (hi part in df mode).
+        """
+        if radius != 2:
+            raise LatticeBinError("stencil assembly implemented for radius 2")
+        ne, km, L, nc = self.meta
+        nx1, ny1 = self.shape
+        m = 2 * radius + 1
+        dt = Kb.dtype
+        hi = jax.lax.Precision.HIGHEST
+
+        def congruence(lo, n_sl):
+            val = jax.lax.dynamic_slice_in_dim(self.val_b, lo, n_sl, 3)
+            kap = jax.lax.dynamic_slice_in_dim(self.kappa, lo, n_sl, 3)
+            Kc = jax.lax.dynamic_slice_in_dim(Kb, lo, n_sl, 3)
+            cols = []
+            for d in range(9):
+                acc = jnp.zeros((ne, L, n_sl), dt)
+                for kb in range(km):
+                    acc = acc + val[:, kb] * (kap[:, kb] == d).astype(dt)
+                cols.append(acc)
+            E = jnp.stack(cols, axis=1)                  # (ne, 9, L, n_sl)
+            E_b = jnp.transpose(E, (2, 3, 0, 1))         # (L, n_sl, ne, 9)
+            K_b = jnp.transpose(Kc, (2, 3, 0, 1))        # (L, n_sl, ne, ne)
+            T = jax.lax.dot_general(
+                K_b, E_b, (((3,), (2,)), ((0, 1), (0, 1))), precision=hi,
+            )                                            # (L, n_sl, ne, 9)
+            return jax.lax.dot_general(
+                E_b, T, (((0, 2), (0, 2)), ((1,), (1,))), precision=hi,
+            )                                            # (n_sl, 9, 9)
+
+        if self.cells is not None:
+            # compact: one congruence pass, scatter placement per row class
+            G = congruence(0, nc)
+            planes = jnp.zeros((m * m, nx1 * ny1), dt)
+            for d1 in range(9):
+                rows = self.rows9[d1]                    # unique within class
+                for d2 in range(9):
+                    oi = d2 // 3 - d1 // 3
+                    oj = d2 % 3 - d1 % 3
+                    k = (oi + radius) * m + (oj + radius)
+                    planes = planes.at[k, rows].add(G[:, d1, d2])
+            return planes.reshape(m * m, nx1, ny1)
+
+        bi0, bj0, bcx, bcy = self.bbox
+        # slab budget: E + T (ne·9 each, f32) + val (ne·km) + kap (int8) +
+        # Kb slice (ne²), all (L, bcy) per bbox x-row
+        per_x = bcy * L * (4 * (2 * ne * 9 + ne * km + ne * ne) + ne * km)
+        slab = max(1, min(int(slab_bytes // max(per_x, 1)), bcx))
+
+        def slab_contrib(planes, r0, n_x):
+            G = congruence(r0 * bcy, n_x * bcy)
+            G = G.reshape(n_x, bcy, 9, 9)
+            for d1 in range(9):
+                for d2 in range(9):
+                    oi = d2 // 3 - d1 // 3
+                    oj = d2 % 3 - d1 % 3
+                    k = (oi + radius) * m + (oj + radius)
+                    at = (k, bi0 + d1 // 3 + r0, bj0 + d1 % 3)
+                    cur = jax.lax.dynamic_slice(planes, at, (1, n_x, bcy))
+                    planes = jax.lax.dynamic_update_slice(
+                        planes, cur + G[None, :, :, d1, d2], at
+                    )
+            return planes
+
+        planes = jnp.zeros((m * m, nx1, ny1), dt)
+        n_full = bcx // slab
+        if n_full:
+            def body(p, i):
+                return slab_contrib(p, i * slab, slab), None
+
+            planes, _ = jax.lax.scan(
+                body, planes, jnp.arange(n_full), unroll=1
+            )
+        tail = bcx - n_full * slab
+        if tail:
+            planes = slab_contrib(planes, n_full * slab, tail)
+        return planes
+
     # -- static data binding + rhs projection ----------------------------------
 
     def bind_static(self, arr: np.ndarray) -> np.ndarray:
@@ -539,6 +639,28 @@ def probe_y_binned_bound(reducers, bound) -> jnp.ndarray:
     for red, Kb in zip(reducers[1:], bound[1:]):
         Y = Y + red.probe_y_bound(Kb[0])
     return Y
+
+
+def stencil_planes_binned_bound(reducers, bound) -> jnp.ndarray:
+    """Direct stencil planes (25, nx1, ny1) from bound df blocks (hi parts),
+    summed over terms — the probe-free replacement for
+    from_probe_y(probe_y_binned_bound(...))."""
+    C = reducers[0].stencil_planes_bound(bound[0][0])
+    for red, Kb in zip(reducers[1:], bound[1:]):
+        C = C + red.stencil_planes_bound(Kb[0])
+    return C
+
+
+def stencil_planes_binned(reducers, blocks) -> jnp.ndarray:
+    """Direct stencil planes from compact per-term element blocks (binds,
+    then assembles) — the probe-free replacement for
+    from_probe_y(probe_y_binned(...))."""
+    C = reducers[0].stencil_planes_bound(
+        reducers[0].bind_blocks(blocks[0])
+    )
+    for red, K in zip(reducers[1:], blocks[1:]):
+        C = C + red.stencil_planes_bound(red.bind_blocks(K))
+    return C
 
 
 def project_rhs_df_binned(reducers, r_el_dfs):

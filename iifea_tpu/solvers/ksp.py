@@ -21,6 +21,7 @@ Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
 """
 from __future__ import annotations
 
+import os
 import warnings
 import weakref
 from functools import partial
@@ -150,8 +151,15 @@ def _probe_binned_2d(reds, blocks, shape, dtn):
     from iifea_tpu.ops.stencil import StencilOperator2D
 
     dt = jnp.dtype(dtn)
-    Y = lattice_bin.probe_y_binned(reds, [K.astype(dt) for K in blocks])
-    return StencilOperator2D.from_probe_y(Y, shape, radius=2, dtype=dt)
+    # direct window-congruence assembly (no probe vectors); the legacy
+    # 25-color probe remains behind IIFEA_2D_COLOR_PROBE for A/B
+    if os.environ.get("IIFEA_2D_COLOR_PROBE"):
+        Y = lattice_bin.probe_y_binned(reds, [K.astype(dt) for K in blocks])
+        return StencilOperator2D.from_probe_y(Y, shape, radius=2, dtype=dt)
+    C = lattice_bin.stencil_planes_binned(
+        reds, [K.astype(dt) for K in blocks]
+    )
+    return StencilOperator2D(C, shape, 2)
 
 
 @partial(jax.jit, static_argnames=("shape", "dtn"))

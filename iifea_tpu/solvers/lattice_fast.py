@@ -187,10 +187,16 @@ class BinnedLatticeSolver:
         @jax.jit
         def _probe(reds, bound):
             if not self._use_window:
-                Y = lattice_bin.probe_y_binned_bound(reds, bound)
-                return StencilOperator2D.from_probe_y(
-                    Y, self.shape, radius=2
-                )
+                if os.environ.get("IIFEA_2D_COLOR_PROBE"):
+                    # legacy 25-color probe (A/B knob; ~0.29 s at 1M dofs)
+                    Y = lattice_bin.probe_y_binned_bound(reds, bound)
+                    return StencilOperator2D.from_probe_y(
+                        Y, self.shape, radius=2
+                    )
+                # direct window-congruence assembly on the binned tables:
+                # one table pass instead of 25 colored applies
+                C = lattice_bin.stencil_planes_binned_bound(reds, bound)
+                return StencilOperator2D(C, self.shape, 2)
             # fused f32 slab-scan probe straight from the compact blocks:
             # no slot-bound K and no materialized G (the round-4 3D OOM)
             C = cell_window.stencil_planes_windows(

@@ -195,3 +195,51 @@ def test_binned_lattice_solver_end_to_end():
     scale = max(float(jnp.abs(u_d).max()), 1.0)
     assert np.allclose(np.asarray(u)[mask], np.asarray(u_d)[mask],
                        atol=1e-7 * scale)
+
+
+@pytest.mark.parametrize("n_bg,n_fg", [(12, 17), (16, 23), (9, 12)])
+def test_direct_stencil_matches_probe(n_bg, n_fg):
+    """Direct window-congruence assembly == the 25-color probe (f64 exact)."""
+    from iifea_tpu.ops.lattice_bin import stencil_planes_binned
+
+    _, prob, M = _setup(n_bg, n_fg)
+    shape = (n_bg + 1, n_bg + 1)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    reducers = build_binned_projection(
+        prob.form, M, shape, radius=2, dtype=np.float64
+    )
+    Y = probe_y_binned(reducers, blocks)
+    C_probe = np.asarray(
+        StencilOperator2D.from_probe_y(Y, shape, radius=2,
+                                       dtype=jnp.float64).coeffs
+    )
+    C_dir = np.asarray(jax.jit(stencil_planes_binned)(reducers, blocks))
+    scale = np.abs(C_probe).max()
+    assert np.allclose(C_dir, C_probe, atol=1e-12 * scale)
+    if n_bg >= 16:
+        # both compact (facet) and dense (cell) placements were exercised
+        # (smaller lattices auto-bin every term dense)
+        assert any(r.cells is not None for r in reducers)
+    assert any(r.cells is None for r in reducers)
+
+
+def test_direct_stencil_slab_chunking():
+    """Tiny slab budget forces the lax.scan slab path; result unchanged."""
+    from iifea_tpu.ops.lattice_bin import stencil_planes_binned
+
+    _, prob, M = _setup(16, 23)
+    shape = (17, 17)
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    reducers = build_binned_projection(
+        prob.form, M, shape, radius=2, dtype=np.float64
+    )
+    C_full = np.asarray(stencil_planes_binned(reducers, blocks))
+    dense = [r for r in reducers if r.cells is None][0]
+    Kb = dense.bind_blocks(blocks[0])
+    C_slab = np.asarray(dense.stencil_planes_bound(Kb, slab_bytes=1))
+    C_ref = np.asarray(dense.stencil_planes_bound(Kb))
+    scale = max(np.abs(C_ref).max(), 1e-30)
+    assert np.allclose(C_slab, C_ref, atol=1e-12 * scale)
+    assert np.isfinite(C_full).all()
