@@ -32,6 +32,7 @@ cannot be binned — callers fall back to the general path
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 import jax
@@ -241,6 +242,46 @@ class BinnedLatticeSolver:
                 max_it=500, check_every=4,
             )
 
+        @partial(jax.jit, static_argnames=("max_passes",))
+        def _refine_fused(reds, bound, A64, S32, mg, b64, rtol, max_passes):
+            # whole refinement in ONE executable: the Python driver above
+            # syncs float(relres) to the host once per pass (a tunnel
+            # round-trip each; ~25 ms on axon) — here the pass loop is a
+            # lax.while_loop and only the final (x, relres, iters) leaves
+            # the device. Semantics match refine(): pass 0 solves on b
+            # directly; each pass measures the df/general residual after
+            # its CG correction and stops at rtol or the pass budget.
+            mv = S32.mv_ref if self.dim == 2 else S32.mv
+
+            def cgp(r32, relres):
+                rtol_pass = jnp.clip(0.25 * rtol / relres, 1e-6, 3e-2)
+                return krylov.cg(
+                    mv, r32, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
+                    max_it=500, check_every=4,
+                )
+
+            def residual(x64):
+                if self._use_window:
+                    return _residual_gen(A64, b64, x64)
+                return _residual_df(reds, bound, b64, x64)
+
+            def body(s):
+                x64, r32, relres, iters, p = s
+                dx, info = cgp(r32, relres)
+                x64 = x64 + dx.astype(jnp.float64)
+                _, r32n, rr = residual(x64)
+                return (x64, r32n, rr, iters + info.iters, p + 1)
+
+            def cond(s):
+                _, _, relres, _, p = s
+                return (relres > rtol) & (p < max_passes)
+
+            x0 = jnp.zeros(self.M.n_bg_dofs, jnp.float64)
+            state = (x0, b64.astype(jnp.float32), jnp.asarray(1.0),
+                     jnp.asarray(0), jnp.asarray(0))
+            x64, _, relres, iters, _ = jax.lax.while_loop(cond, body, state)
+            return x64, relres, iters
+
         @jax.jit
         def _accum(x64, dx):
             return x64 + dx.astype(jnp.float64)
@@ -251,6 +292,7 @@ class BinnedLatticeSolver:
         self._residual_fn = _residual
         self._cg_fn = _cg32
         self._accum_fn = _accum
+        self._refine_fused_fn = _refine_fused
         self._A64 = None   # window path: general f64 operator (lazy)
 
     # -- pipeline stages (individually timeable) -------------------------------
@@ -282,7 +324,24 @@ class BinnedLatticeSolver:
 
         ``cg_fn(S32, mg, r32, rtol_pass) -> (dx32, info)`` defaults to the
         single-device jit CG; bench.py's sharded pipeline injects a
-        row-block-sharded CG here instead of duplicating this driver."""
+        row-block-sharded CG here instead of duplicating this driver.
+
+        With the default CG the whole refinement runs as ONE jit executable
+        (pass loop on device, no per-pass host syncs); set
+        IIFEA_NO_FUSED_REFINE=1 to fall back to the per-pass Python driver
+        (per-phase timing, A/B)."""
+        if cg_fn is None and not os.environ.get("IIFEA_NO_FUSED_REFINE"):
+            if self._use_window and self._A64 is None:
+                from iifea_tpu.ops.projection import BackgroundOperator
+
+                self._A64 = BackgroundOperator(
+                    self.prob.form, list(bound), self.M
+                )
+            x64, relres, iters = self._refine_fused_fn(
+                self.reducers, bound, self._A64, S32, mg, b64, rtol,
+                max_passes,
+            )
+            return x64, float(relres), int(iters)
         cg_fn = cg_fn or self._cg_fn
         x64 = jnp.zeros(self.M.n_bg_dofs, jnp.float64)
         relres, iters = 1.0, 0
