@@ -339,27 +339,38 @@ class LatticeBinnedTerm2D:
         nx1, ny1 = self.shape
         m = 2 * radius + 1
         dt = Kb.dtype
-        hi = jax.lax.Precision.HIGHEST
 
         def congruence(lo, n_sl):
+            # Returns a list g[d1*9+d2] of (n_sl,) planes. All intermediates
+            # keep the slot axis minormost and the tiny (ne, 9) contractions
+            # unrolled into plane FMAs: the dot_general formulation's
+            # (L, n_sl, ne, 9) operands tile the (ne, 9) minor axes to
+            # (8, 128) on TPU — a measured 19-57x padding expansion that
+            # OOM'd the 1M-dof headline (19.2 GB for 346 MB of data).
             val = jax.lax.dynamic_slice_in_dim(self.val_b, lo, n_sl, 3)
             kap = jax.lax.dynamic_slice_in_dim(self.kappa, lo, n_sl, 3)
             Kc = jax.lax.dynamic_slice_in_dim(Kb, lo, n_sl, 3)
-            cols = []
-            for d in range(9):
-                acc = jnp.zeros((ne, L, n_sl), dt)
-                for kb in range(km):
-                    acc = acc + val[:, kb] * (kap[:, kb] == d).astype(dt)
-                cols.append(acc)
-            E = jnp.stack(cols, axis=1)                  # (ne, 9, L, n_sl)
-            E_b = jnp.transpose(E, (2, 3, 0, 1))         # (L, n_sl, ne, 9)
-            K_b = jnp.transpose(Kc, (2, 3, 0, 1))        # (L, n_sl, ne, ne)
-            T = jax.lax.dot_general(
-                K_b, E_b, (((3,), (2,)), ((0, 1), (0, 1))), precision=hi,
-            )                                            # (L, n_sl, ne, 9)
-            return jax.lax.dot_general(
-                E_b, T, (((0, 2), (0, 2)), ((1,), (1,))), precision=hi,
-            )                                            # (n_sl, 9, 9)
+            E = [[None] * 9 for _ in range(ne)]          # E[b][d]: (L, n_sl)
+            for b in range(ne):
+                for d in range(9):
+                    acc = jnp.zeros((L, n_sl), dt)
+                    for kb in range(km):
+                        acc = acc + val[b, kb] * (kap[b, kb] == d).astype(dt)
+                    E[b][d] = acc
+            out = [None] * 81
+            for d2 in range(9):
+                T = []                                   # T[a] = Σ_b K[a,b]·E[b][d2]
+                for a in range(ne):
+                    t = Kc[a, 0] * E[0][d2]
+                    for b in range(1, ne):
+                        t = t + Kc[a, b] * E[b][d2]
+                    T.append(t)
+                for d1 in range(9):
+                    g = E[0][d1] * T[0]
+                    for a in range(1, ne):
+                        g = g + E[a][d1] * T[a]
+                    out[d1 * 9 + d2] = jnp.sum(g, axis=0)
+            return out
 
         if self.cells is not None:
             # compact: one congruence pass, scatter placement per row class
@@ -371,18 +382,18 @@ class LatticeBinnedTerm2D:
                     oi = d2 // 3 - d1 // 3
                     oj = d2 % 3 - d1 % 3
                     k = (oi + radius) * m + (oj + radius)
-                    planes = planes.at[k, rows].add(G[:, d1, d2])
+                    planes = planes.at[k, rows].add(G[d1 * 9 + d2])
             return planes.reshape(m * m, nx1, ny1)
 
         bi0, bj0, bcx, bcy = self.bbox
-        # slab budget: E + T (ne·9 each, f32) + val (ne·km) + kap (int8) +
-        # Kb slice (ne²), all (L, bcy) per bbox x-row
-        per_x = bcy * L * (4 * (2 * ne * 9 + ne * km + ne * ne) + ne * km)
+        # slab budget: E planes (ne·9, f32, (L, slot)) + val (ne·km) + kap
+        # (int8) + Kb slice (ne²) + G output (81 slot-planes, no L axis)
+        per_x = bcy * (L * (4 * (ne * 9 + ne + ne * km + ne * ne) + ne * km)
+                       + 4 * 81)
         slab = max(1, min(int(slab_bytes // max(per_x, 1)), bcx))
 
         def slab_contrib(planes, r0, n_x):
             G = congruence(r0 * bcy, n_x * bcy)
-            G = G.reshape(n_x, bcy, 9, 9)
             for d1 in range(9):
                 for d2 in range(9):
                     oi = d2 // 3 - d1 // 3
@@ -391,7 +402,9 @@ class LatticeBinnedTerm2D:
                     at = (k, bi0 + d1 // 3 + r0, bj0 + d1 % 3)
                     cur = jax.lax.dynamic_slice(planes, at, (1, n_x, bcy))
                     planes = jax.lax.dynamic_update_slice(
-                        planes, cur + G[None, :, :, d1, d2], at
+                        planes,
+                        cur + G[d1 * 9 + d2].reshape(1, n_x, bcy),
+                        at,
                     )
             return planes
 
