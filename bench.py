@@ -308,19 +308,21 @@ def run_tpu(n_bg: int, rtol: float = 1e-10, verbose=False, dim: int = 2):
 
 def run_sharded(n_bg: int, devices: int, rtol: float = 1e-10):
     """Multi-chip-ready bench path: the same binned pipeline with the f32
-    MG-PCG running on row-block-sharded planes (parallel/stencil.py).
+    MG-PCG running on row-block-sharded planes end-to-end.
 
     The fine-level matvec exchanges 2r halo rows over the 'dp' mesh axis
     (ppermute -> ICI on real hardware); CG dots psum across devices; the MG
-    preconditioner is applied replicated (coarse-solve replication — the
-    standard trade at modest device counts). Correctness-only on the virtual
-    CPU mesh; the same code path runs unchanged on a real multi-chip mesh.
+    preconditioner is the SHARDED V-cycle (parallel/multigrid.py): fine
+    levels row-block sharded with GSPMD halo exchange, coarse levels + the
+    dense coarsest inverse replicated. Nothing in the CG loop un-shards.
+    Correctness-validated on the virtual CPU mesh; the same code path runs
+    unchanged on a real multi-chip mesh.
     """
     import jax
     import jax.numpy as jnp
+    from iifea_tpu.parallel.multigrid import ShardedMultigrid2D
     from iifea_tpu.parallel.sharding import make_device_mesh
     from iifea_tpu.parallel.stencil import ShardedStencil2D
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from iifea_tpu.solvers import krylov
 
     from iifea_tpu.solvers.lattice_fast import BinnedLatticeSolver
@@ -336,17 +338,11 @@ def run_sharded(n_bg: int, devices: int, rtol: float = 1e-10):
 
     mesh = make_device_mesh(devices)
     Ssh = ShardedStencil2D(S32, mesh)
-    # replicate the MG hierarchy across the mesh (it is a pytree)
-    mg = jax.device_put(mg, NamedSharding(mesh, P()))
-
-    def minv2(r2):
-        z = mg.minv(Ssh.unshard_vec(r2))
-        z2 = jnp.pad(z.reshape(shape), ((0, Ssh.nxs - shape[0]), (0, 0)))
-        return jax.lax.with_sharding_constraint(z2, Ssh._x_sharding)
+    smg = ShardedMultigrid2D(mg, mesh)
 
     @jax.jit
     def cg_pass(b2, rtol_pass):
-        return krylov.cg(Ssh.mv2, b2, minv=minv2, rtol=rtol_pass,
+        return krylov.cg(Ssh.mv2, b2, minv=smg.minv_padded, rtol=rtol_pass,
                          atol=1e-30, max_it=500, check_every=4)
 
     def cg_sharded(_S32, _mg, r32, rtol_pass):

@@ -50,6 +50,11 @@ parser.add_argument('--ckpt', dest='ckpt', default=None,
                          'checkpointing; SURVEY.md §5)')
 parser.add_argument('--ckpt-every', dest='ckpt_every', default=10,
                     help='Checkpoint interval in time steps')
+parser.add_argument('--line-search', dest='line_search', default=False,
+                    action='store_true',
+                    help='Backtracking line search on ||R|| inside Newton '
+                         '(globalization beyond the reference\'s fixed '
+                         'relax_param, common.py:474). Default off.')
 parser.add_argument('--bfr', dest='bfr', type=float, default=None,
                     help='basis-function-removal diagonal tolerance '
                          '(common.py:261-332 trimNodes). The reference TG '
@@ -195,6 +200,7 @@ for step in range(start_step, N_STEPS):
         relax_param=1.0,
         absolute_tolerance=1e-4,
         absolute_tolerance_res=1e-5,
+        line_search=args.line_search,
     )                                          # tg_vortex.py:332-338
     up_old_f = up_f
     t += 0.5 * Dt

@@ -1,0 +1,220 @@
+"""Row-block-sharded geometric multigrid V-cycle (SPMD, GSPMD-partitioned).
+
+The reference's entire solver stack is rank-parallel under `mpirun -np N` —
+KSP, PC, and the MUMPS coarse factorization all operate on row-distributed
+PETSc objects (InterpolationBasedImmersedFEA/common.py:509-641; ASM
+subdomain solves common.py:576-587). Here the analogous multi-chip V-cycle
+runs as ONE SPMD program over a 1D 'dp' device mesh:
+
+  * fine levels: coefficient planes and vectors are row-block sharded
+    (`PartitionSpec(None, 'dp', None)` / `('dp', None)`); the smoother's
+    shifted-FMA matvec and the full-weighting restrict are plain XLA
+    pad/slice/conv ops, so GSPMD inserts the 2r-row halo collective-permutes
+    over ICI by itself — the hand-written ppermute of
+    parallel/stencil.py and this module's compiler-partitioned V-cycle
+    compute the same exchanges;
+  * coarse levels below a row threshold: replicated (the standard
+    coarse-grid replication trade at modest device counts — one small
+    all-gather at the restrict boundary, zero collectives inside);
+  * coarsest level: the dense truncated pseudo-inverse applied replicated
+    (the MUMPS-coarse role, ops/multigrid._dense_inverse).
+
+Built FROM an existing single-device StencilMultigrid / StencilMultigrid3D
+hierarchy: construction is `device_put` placements only — no re-probing, no
+numerical changes, so sharded and single-device cycles agree to roundoff
+(pinned by tests/test_parallel_mg.py and dryrun_multichip phase 4).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from iifea_tpu.ops.multigrid import (
+    _prolong,
+    _prolong3,
+    _restrict,
+    _restrict3,
+)
+
+
+def _put(x, mesh, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+class _ShardedMGBase:
+    """Common V-cycle driver over plane-form levels (dim-agnostic)."""
+
+    dim: int
+
+    def __init__(self, mg, mesh: DeviceMesh, min_shard_rows: int | None = None):
+        if getattr(mg, "smoother", "jacobi") != "jacobi":
+            raise NotImplementedError(
+                "sharded V-cycle supports the (default) jacobi smoother"
+            )
+        self.mesh = mesh
+        self.nu_pre, self.nu_post = mg.nu_pre, mg.nu_post
+        self.omega = mg.omega
+        self.coarse_sweeps = mg.coarse_sweeps
+        ndev = mesh.devices.size
+        if min_shard_rows is None:
+            # each device should own at least a few row-tiles; below that the
+            # halo (2r rows/slabs per exchange) rivals the local work
+            min_shard_rows = max(4 * ndev, 16)
+        self.shapes = [tuple(S.shape) for S in mg.levels]
+        self.radii = [S.radius for S in mg.levels]
+        tail = (None,) * (self.dim - 1)
+        self.C, self.invd, self._specs = [], [], []
+        for S, invd in zip(mg.levels, mg.inv_diags):
+            sh = tuple(S.shape)
+            sharded = sh[0] >= min_shard_rows
+            spec_x = P("dp", *tail) if sharded else P(None, *tail)
+            spec_c = P(None, *spec_x)
+            self._specs.append(spec_x)
+            # device_put demands row counts divisible by the mesh size —
+            # store zero-padded leaves and slice back to the logical shape
+            # inside the traced cycle (uneven shardings are fine in-graph)
+            pad_rows = (-(-sh[0] // ndev) * ndev - sh[0]) if sharded else 0
+            padw = ((0, pad_rows),) + ((0, 0),) * (self.dim - 1)
+            self.C.append(_put(
+                jnp.pad(S.coeffs, ((0, 0),) + padw), mesh, spec_c
+            ))
+            self.invd.append(_put(
+                jnp.pad(invd.reshape(sh), padw), mesh, spec_x
+            ))
+        self.coarse_inv = (
+            None if mg.coarse_inv is None else _put(mg.coarse_inv, mesh, P())
+        )
+        self._x_sharding = NamedSharding(mesh, P("dp", *tail))
+
+    # -- pytree ----------------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.C, self.invd, self.coarse_inv), (
+            self.mesh, self.nu_pre, self.nu_post, self.omega,
+            self.coarse_sweeps, tuple(self.shapes), tuple(self.radii),
+            tuple(self._specs),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.C, obj.invd, obj.coarse_inv = children
+        (obj.mesh, obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps,
+         shapes, radii, specs) = aux
+        obj.shapes = list(shapes)
+        obj.radii = list(radii)
+        obj._specs = list(specs)
+        tail = (None,) * (obj.dim - 1)
+        obj._x_sharding = NamedSharding(obj.mesh, P("dp", *tail))
+        return obj
+
+    # -- per-level building blocks ----------------------------------------------
+
+    def _c(self, lvl: int, x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, self._specs[lvl])
+        )
+
+    def _Clvl(self, lvl: int):
+        sh = self.shapes[lvl]
+        C = self.C[lvl]
+        if C.shape[1] != sh[0]:
+            C = jax.lax.slice_in_dim(C, 0, sh[0], axis=1)
+        return C
+
+    def _invdlvl(self, lvl: int):
+        sh = self.shapes[lvl]
+        invd = self.invd[lvl]
+        if invd.shape[0] != sh[0]:
+            invd = jax.lax.slice_in_dim(invd, 0, sh[0], axis=0)
+        return invd
+
+    def _mv(self, lvl: int, x):
+        """Shifted-FMA stencil apply on the level's plane. Static pads and
+        slices along the sharded row axis — GSPMD turns the r-row overlap
+        into neighbor collective-permutes."""
+        C = self._Clvl(lvl)
+        sh = self.shapes[lvl]
+        r = self.radii[lvl]
+        m = 2 * r + 1
+        xs = jnp.pad(x, ((r, r),) * self.dim)
+        y = jnp.zeros_like(x)
+        for k in range(m ** self.dim):
+            off = []
+            kk = k
+            for _ in range(self.dim):
+                kk, o = divmod(kk, m)
+                off.append(o)
+            off = tuple(reversed(off))
+            y = y + C[k] * jax.lax.slice(
+                xs, off, tuple(o + s for o, s in zip(off, sh))
+            )
+        return y
+
+    def _smooth(self, lvl: int, x, b, sweeps: int):
+        om = self.omega
+        invd = self._invdlvl(lvl)
+
+        def body(_, x):
+            return self._c(lvl, x + om * invd * (b - self._mv(lvl, x)))
+
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+    def _restrict(self, x):
+        return _restrict(x) if self.dim == 2 else _restrict3(x)
+
+    def _prolong(self, xc):
+        return _prolong(xc) if self.dim == 2 else _prolong3(xc)
+
+    def _vcycle(self, lvl: int, b):
+        if lvl == len(self.shapes) - 1:
+            if self.coarse_inv is not None:
+                z = (self.coarse_inv @ b.reshape(-1)).reshape(b.shape)
+                return self._c(lvl, z)
+            return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
+        r = b - self._mv(lvl, x)
+        rc = self._c(lvl + 1, self._restrict(r))
+        xc = self._vcycle(lvl + 1, rc)
+        x = self._c(lvl, x + self._prolong(xc))
+        return self._smooth(lvl, x, b, self.nu_post)
+
+    # -- public interfaces -------------------------------------------------------
+
+    def minv_plane(self, r):
+        """V-cycle on the level-0 plane (nx1, [ny1[, nz1]])."""
+        return self._vcycle(0, self._c(0, r))
+
+    def minv(self, r):
+        """Flat-vector interface (matches StencilMultigrid.minv)."""
+        sh = self.shapes[0]
+        return self.minv_plane(r.reshape(sh)).reshape(-1)
+
+    def minv_padded(self, r2):
+        """Row-padded sharded-plane interface compatible with
+        parallel/stencil.py's shard_vec layout: (nxs, ...) in/out, padded
+        rows zero. This is the preconditioner the sharded MG-PCG pipeline
+        (bench.py --devices N) plugs straight into krylov.cg."""
+        sh = self.shapes[0]
+        nxs = r2.shape[0]
+        z = self.minv_plane(r2[: sh[0]])
+        pad = ((0, nxs - sh[0]),) + ((0, 0),) * (self.dim - 1)
+        return jax.lax.with_sharding_constraint(
+            jnp.pad(z, pad), self._x_sharding
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedMultigrid2D(_ShardedMGBase):
+    """Sharded V-cycle over a StencilMultigrid (2D) hierarchy."""
+
+    dim = 2
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedMultigrid3D(_ShardedMGBase):
+    """Sharded V-cycle over a StencilMultigrid3D hierarchy (x-slab blocks)."""
+
+    dim = 3

@@ -35,6 +35,12 @@ def _assemble(form, u_f, M, aux, params):
     return blocks, R_b
 
 
+@jax.jit
+def _residual_b(form, u_f, M, aux, params):
+    """Projected residual only (no Jacobian) — the line-search merit term."""
+    return M.rmv(form.residual(u_f, aux, params))
+
+
 def solve_nonlinear(
     form: Form,
     u_f: jnp.ndarray,
@@ -59,12 +65,22 @@ def solve_nonlinear(
     linear_atol: float = 1e-9,
     lattice_shape: tuple | None = None,
     n_fields: int = 1,
+    line_search: bool = False,
+    max_halvings: int = 8,
 ):
     """Newton's iteration; returns (u_p, u_f) with u_f = M u_p kept in sync.
 
     ``linear_pc='mg'`` + ``lattice_shape`` routes each linearized solve
     through the stencil fast path (re-probed per Newton iteration, since the
-    Jacobian changes — see solvers/ksp._mg_solve)."""
+    Jacobian changes — see solvers/ksp._mg_solve).
+
+    ``line_search=True`` adds a backtracking (Armijo-on-||R||) globalization
+    the reference does NOT have — its only rescue for a diverging Newton is
+    the fixed ``relax_param`` (common.py:404-480, :474). Default off for
+    exact reference parity: step α·relax·du with α halved from 1 until
+    ||R(u - α·relax·du)|| <= (1 - 1e-4 α)||R(u)||; if no α in
+    ``max_halvings`` qualifies, the least-bad trial is taken (so a
+    stagnating search still makes progress instead of stepping blind)."""
     aux = aux or {}
     initial_norm = initial_norm_res = None
     converged = False
@@ -115,8 +131,39 @@ def solve_nonlinear(
         ):
             converged = True
             break
-        u_p = u_p - relax_param * du_p
-        u_f = M.mv(u_p)
+        if line_search:
+            mask = None
+            if bfr_tol is not None:
+                mask = trim_mask_from_diag(A.diag(), bfr_tol)
+            elif zero_ids is not None:
+                mask = mask_from_ids(zero_ids, M.n_bg_dofs)
+
+            def merit(trial_p, trial_f):
+                R = _residual_b(form, trial_f, M, aux, params)
+                if mask is not None:
+                    R = apply_trim_rhs(R, mask, target=trial_p)
+                return float(jnp.linalg.norm(R))
+
+            alpha, accepted = 1.0, False
+            best_state, best_rn = None, float("inf")
+            for _ in range(max_halvings):
+                trial_p = u_p - (alpha * relax_param) * du_p
+                trial_f = M.mv(trial_p)
+                rn = merit(trial_p, trial_f)
+                if rn <= (1.0 - 1e-4 * alpha) * current_norm_res:
+                    u_p, u_f, accepted = trial_p, trial_f, True
+                    break
+                if rn < best_rn:
+                    best_state, best_rn = (trial_p, trial_f, alpha), rn
+                alpha *= 0.5
+            if not accepted:
+                u_p, u_f, alpha = best_state
+            if monitor_newton:
+                log_info(f"    line search: alpha = {alpha}"
+                         + ("" if accepted else " (least-bad fallback)"))
+        else:
+            u_p = u_p - relax_param * du_p
+            u_f = M.mv(u_p)
 
     if not converged:
         raise NonlinearSolveError("Nonlinear solver failed to converge.")

@@ -51,6 +51,8 @@ _SLOW_NODES = {
     "test_newton_with_mg_fast_path", "test_tg_step_with_block_mg",
     # direct solver (fast rep: test_direct_near_null_pivot_escalation)
     "test_direct_iterative_fallback_3d",
+    # newton globalization (compile-heavy: two full Newton loops)
+    "test_newton_line_search_globalizes",
     # lattice_bin (fast reps: [9-12] probe, f32_close, cell_stiffness_df)
     "test_binned_lattice_solver_end_to_end",
     "test_df_apply_matches_f64_general", "test_rhs_df_fast_path",

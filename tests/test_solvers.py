@@ -467,3 +467,50 @@ def test_bjacobi_single_field_degrades_to_jacobi():
                          monitor=False)
     assert any("bjacobi" in str(r.message) for r in rec)
     assert np.allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
+
+
+def test_newton_line_search_globalizes():
+    """Backtracking line search (VERDICT r4 item 6): an atan-reaction
+    problem started far from the solution makes full Newton steps overshoot
+    and oscillate — plain Newton (the reference's only rescue is a fixed
+    relax_param, common.py:474) fails, the Armijo backtracking variant
+    converges."""
+    from iifea_tpu.mesh.core import FunctionSpace
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.ops.assembly import Form, Term, build_cell_domain
+    from iifea_tpu.solvers.newton import (
+        NonlinearSolveError,
+        solve_nonlinear,
+    )
+
+    n_bg = 16
+    mesh_f, M = immersed_square_problem(n_fg=24, n_bg=n_bg)
+    V = FunctionSpace(mesh_f, degree=1, n_fields=1)
+
+    def kern(u_loc, aux_loc, ctx, params):
+        uq = jnp.einsum("qb,b->q", ctx.phi, u_loc[:, 0])
+        gu = jnp.einsum("qbd,b->qd", ctx.gphi, u_loc[:, 0])
+        r = jnp.einsum("q,qd,qbd->b", ctx.w, gu, ctx.gphi)
+        # atan reaction: near-flat far field => full Newton steps overshoot
+        r = r + jnp.einsum("q,q,qb->b", ctx.w, jnp.arctan(uq - 2.0), ctx.phi)
+        return r[:, None]
+
+    cells = np.where(mesh_f.material == 2)[0]
+    dom = build_cell_domain(V, cells, 3)
+    form = Form(V, [Term(dom, kern)])
+    u_p0 = jnp.full(M.n_bg_dofs, 20.0)
+
+    with pytest.raises(NonlinearSolveError):
+        solve_nonlinear(
+            form, M.mv(u_p0), M, u_p0, max_iters=15,
+            relative_tolerance=1e-8, monitor_newton=False,
+            linear_method="cg", linear_pc="jacobi",
+        )
+
+    u_p, u_f = solve_nonlinear(
+        form, M.mv(u_p0), M, u_p0, max_iters=15,
+        relative_tolerance=1e-8, monitor_newton=False,
+        linear_method="cg", linear_pc="jacobi", line_search=True,
+    )
+    R = M.rmv(form.residual(u_f))
+    assert float(jnp.linalg.norm(R)) < 1e-6
