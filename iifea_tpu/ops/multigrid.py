@@ -510,17 +510,48 @@ def _coarsen3_probe(fine: "StencilOperator3D") -> "StencilOperator3D":
     )
 
 
+# planes above this size take the chunked-conv path of _coarsen3 (tests
+# lower it to pin chunked-vs-monolithic parity on small fixtures)
+_COARSEN3_MONO_BYTES = 2 ** 28
+
+
 @jax.jit
 def _coarsen3(fine: "StencilOperator3D") -> "StencilOperator3D":
-    """3D direct Galerkin coarse operator (one strided conv, see _coarsen)."""
+    """3D direct Galerkin coarse operator (strided conv, see _coarsen).
+
+    At bench scale the monolithic conv OOMs: with ~10 GB of pipeline
+    residents (window tables + bound f64 blocks + fine planes,
+    tools/audit3d_mem.py) the 125-channel im2col workspace at 101³ did not
+    fit the v5e's remaining HBM (round-4f bench3d ResourceExhausted inside
+    StencilMultigrid3D.__init__). Above a plane-size threshold the
+    in-channel axis is scanned in chunks — each step convolves a
+    (1, chunk, ...) slab against K[:, chunk] and accumulates, shrinking the
+    live conv workspace ~m³/chunk x while keeping one traced graph."""
     cshape = tuple((s - 1) // 2 + 1 for s in fine.shape)
     C = _masked_coeffs3(fine)
     K = jnp.asarray(_rap_kernel3(fine.radius), fine.dtype)
-    y = jax.lax.conv_general_dilated(
-        C[None], K, window_strides=(2, 2, 2),
-        padding=((1, 1), (1, 1), (1, 1)),
-    )
-    return StencilOperator3D(y[0], cshape, fine.radius)
+    m3 = C.shape[0]
+    if C.size * C.dtype.itemsize <= _COARSEN3_MONO_BYTES:  # small: one conv
+        y = jax.lax.conv_general_dilated(
+            C[None], K, window_strides=(2, 2, 2),
+            padding=((1, 1), (1, 1), (1, 1)),
+        )
+        return StencilOperator3D(y[0], cshape, fine.radius)
+
+    chunk = 25 if m3 % 25 == 0 else (9 if m3 % 9 == 0 else 1)
+
+    def body(acc, i):
+        Ci = jax.lax.dynamic_slice_in_dim(C, i * chunk, chunk, 0)
+        Ki = jax.lax.dynamic_slice_in_dim(K, i * chunk, chunk, 1)
+        y = jax.lax.conv_general_dilated(
+            Ci[None], Ki, window_strides=(2, 2, 2),
+            padding=((1, 1), (1, 1), (1, 1)),
+        )
+        return acc + y[0], None
+
+    y0 = jnp.zeros((m3,) + cshape, fine.dtype)
+    y, _ = jax.lax.scan(body, y0, jnp.arange(m3 // chunk), unroll=1)
+    return StencilOperator3D(y, cshape, fine.radius)
 
 
 @jax.jit

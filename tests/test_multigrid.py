@@ -243,3 +243,26 @@ def test_block3d_probe_and_mg():
     assert int(info.iters) < int(info_cg.iters) / 3
     assert np.allclose(np.asarray(x_mg), np.asarray(x_cg),
                        atol=1e-7 * float(jnp.abs(x_cg).max()))
+
+
+def test_coarsen3_chunked_matches_monolithic():
+    """The chunked in-channel scan of _coarsen3 (the 3D bench HBM fix) is
+    numerically the same RAP as the monolithic conv."""
+    import iifea_tpu.ops.multigrid as mgm
+    from iifea_tpu.ops.stencil import StencilOperator3D
+
+    rng = np.random.default_rng(9)
+    C = jnp.asarray(rng.standard_normal((125, 13, 9, 11)), jnp.float32)
+    S = StencilOperator3D(C, (13, 9, 11), 2)
+    ref = np.asarray(mgm._coarsen3(S).coeffs)
+    old = mgm._COARSEN3_MONO_BYTES
+    # jit caches on input shape: drop the cached monolithic executable so
+    # the lowered threshold actually traces the chunked path
+    mgm._coarsen3.clear_cache()
+    mgm._COARSEN3_MONO_BYTES = 0
+    try:
+        got = np.asarray(mgm._coarsen3(S).coeffs)
+    finally:
+        mgm._COARSEN3_MONO_BYTES = old
+        mgm._coarsen3.clear_cache()
+    assert np.allclose(got, ref, atol=1e-5 * np.abs(ref).max())

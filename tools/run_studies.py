@@ -32,10 +32,18 @@ FLOAT = r"([-+0-9.eE]+)"
 def run(name, cmd, patterns, timeout=7200, extra=None):
     """Run one demo; scrape `patterns` (key -> regex with one float group)."""
     t0 = time.time()
+    # Default the child to the host backend unless the caller pins a
+    # platform: an auto-routed big run dying on a wedged axon tunnel at
+    # backend init is how round 4 lost the 3D biharmonic ref-2 row
+    # (studies/biharmonic_synthetic.jsonl rc=1 @1707s, 'Unable to
+    # initialize backend axon'). TPU study runs opt in explicitly with
+    # IIFEA_PLATFORM=tpu (or axon) in the parent env.
+    env = dict(os.environ)
+    env.setdefault("IIFEA_PLATFORM", "cpu")
     try:
         p = subprocess.run(
             [sys.executable] + cmd, capture_output=True, text=True,
-            timeout=timeout, cwd=HERE,
+            timeout=timeout, cwd=HERE, env=env,
         )
         out = p.stdout + p.stderr
         rc = p.returncode
