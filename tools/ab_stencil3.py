@@ -34,17 +34,22 @@ from iifea_tpu.ops.multigrid import StencilMultigrid3D, _invd3_l1
 from iifea_tpu.ops.stencil import StencilOperator3D
 
 
-def timed(fn, x, reps):
-    """Best-of-3 wall time of `reps` chained applies inside one jit."""
-    @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, reps, lambda _, v: fn(v), x)
+def timed(fn, x, reps, *ops):
+    """Best-of-3 wall time of `reps` chained applies inside one jit.
 
-    float(loop(x)[0])            # compile + warm
+    ``ops`` (coefficient planes, operators) are explicit jit ARGUMENTS:
+    closing over a concrete 515 MB radius-2 coefficient array inlined it
+    into the lowered module as a literal, overflowing the axon
+    remote-compile request (HTTP 413, round 4f)."""
+    @jax.jit
+    def loop(x, *ops):
+        return jax.lax.fori_loop(0, reps, lambda _, v: fn(v, *ops), x)
+
+    float(loop(x, *ops)[0])            # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(loop(x)[0])        # readback sync
+        float(loop(x, *ops)[0])        # readback sync
         best = min(best, time.perf_counter() - t0)
     return best / reps
 
@@ -76,18 +81,21 @@ def main():
 
         # compulsory coefficient traffic per apply, for effective-GB/s
         gb = S.cp.size * 4 / 1e9
+        # every large operand rides as a jit argument (see timed)
         variants = {
-            "mv_xla": (lambda v: S.mv_ref(v), 1),
-            "sm_xla": (lambda v: v + om * invd * (b - S.mv_ref(v)), 1),
+            "mv_xla": (lambda v, S_: S_.mv_ref(v), (S,)),
+            "sm_xla": (lambda v, S_, invd_, b_:
+                       v + om * invd_ * (b_ - S_.mv_ref(v)), (S, invd, b)),
         }
         if dev.platform == "tpu" and ps.fits_vmem3(shape, r):
             variants["mv_pallas"] = (
-                lambda v: ps.stencil_mv3(S.cp, v, shape, r), 1)
+                lambda v, cp: ps.stencil_mv3(cp, v, shape, r), (S.cp,))
             variants["sm_pallas"] = (
-                lambda v: ps.jacobi_smooth3(
-                    S.cp, invd3p, b3p, v, om, shape, r), 1)
-        for name, (fn, _) in variants.items():
-            t = timed(fn, x, args.reps)
+                lambda v, cp, invd3p_, b3p_: ps.jacobi_smooth3(
+                    cp, invd3p_, b3p_, v, om, shape, r),
+                (S.cp, invd3p, b3p))
+        for name, (fn, ops) in variants.items():
+            t = timed(fn, x, args.reps, *ops)
             rows.append({"radius": r, "variant": name, "n": args.n,
                          "t_apply_s": round(t, 6),
                          "eff_gbps": round(gb / t, 1),
@@ -96,7 +104,7 @@ def main():
 
         # product-path context: one all-XLA V-cycle at this radius
         mg = StencilMultigrid3D(S)
-        t = timed(lambda v: mg.minv(v), x, max(args.reps // 5, 5))
+        t = timed(lambda v, mg_: mg_.minv(v), x, max(args.reps // 5, 5), mg)
         rows.append({"radius": r, "variant": "vcycle_xla", "n": args.n,
                      "t_apply_s": round(t, 6), "platform": dev.platform})
         print(json.dumps(rows[-1]), flush=True)
