@@ -49,11 +49,12 @@ parser.add_argument('--wv', dest='wv', default=False,
                          'ParaView (XDMFFile role, poisson.py:256-261)')
 parser.add_argument('--ov', dest='ov', default='poisson_fields.vtu',
                     help='VTU output path for --wv')
-parser.add_argument('--beta', dest='beta', default=10.0, type=float,
-                    help='Nitsche penalty (reference poisson.py:194 uses 10). '
-                         'Diagnostic: the 3D R2 artifact H10 dip is marginal '
-                         'coercivity at beta=10 on that cut; beta=40 restores '
-                         'monotone rates (RESULTS.md, Poisson 3D note)')
+parser.add_argument('--beta', dest='beta', default='10.0',
+                    help='Nitsche penalty (reference poisson.py:194 uses 10), '
+                         'or "auto": smallest coercive beta (doubling from '
+                         '10, positive-definiteness checked on the projected '
+                         'operator) — removes the 3D R2 marginal-coercivity '
+                         'H10 dip instead of footnoting it (RESULTS.md)')
 parser.add_argument('--Ex', dest='Ex', default=True,
                     help='Option to solve on the FG mesh (False: identity M)')
 parser.add_argument('--devices', dest='devices', default=1, type=int,
@@ -102,7 +103,9 @@ else:
     mesh_f = read_mesh(path)
     M_synth = None
 
-prob = PoissonProblem(mesh_f, k=k, sym=symmetric, beta_value=args.beta)
+beta_auto = str(args.beta).lower() == 'auto'
+beta_val = 10.0 if beta_auto else float(args.beta)
+prob = PoissonProblem(mesh_f, k=k, sym=symmetric, beta_value=beta_val)
 
 if not Ex:
     M = ExtractionOperator.identity(prob.space.n_nodes)   # poisson.py:178-181
@@ -112,6 +115,17 @@ else:
     M = ExtractionOperator.from_exop_csv(
         os.path.join(path, "ExOp_Cons.csv"), prob.space.n_nodes
     )
+
+if beta_auto:
+    if not symmetric:
+        log_info('[poisson] --beta auto: nonsymmetric Nitsche is '
+                 'penalty-free; keeping beta unused')
+    else:
+        from iifea_tpu.models.poisson import select_coercive_beta
+
+        beta_sel, prob = select_coercive_beta(mesh_f, M, k=k, beta0=10.0)
+        log_info(f'[poisson] auto-selected Nitsche beta = {beta_sel} '
+                 '(smallest coercive in 10*2^j)')
 
 if args.devices > 1:
     # SPMD path (the mpirun analog): extraction fused into the element

@@ -55,6 +55,11 @@ parser.add_argument('--line-search', dest='line_search', default=False,
                     help='Backtracking line search on ||R|| inside Newton '
                          '(globalization beyond the reference\'s fixed '
                          'relax_param, common.py:474). Default off.')
+parser.add_argument('--ptc', dest='ptc', type=float, default=None,
+                    help='Pseudo-transient continuation sigma0: each Newton '
+                         'solve uses A + sigma_k|diag A| with sigma_k '
+                         'decaying with the residual. Rescues near-singular '
+                         'linearizations on badly cut coarse meshes.')
 parser.add_argument('--bfr', dest='bfr', type=float, default=None,
                     help='basis-function-removal diagonal tolerance '
                          '(common.py:261-332 trimNodes). The reference TG '
@@ -201,6 +206,7 @@ for step in range(start_step, N_STEPS):
         absolute_tolerance=1e-4,
         absolute_tolerance_res=1e-5,
         line_search=args.line_search,
+        ptc_sigma0=args.ptc,
     )                                          # tg_vortex.py:332-338
     up_old_f = up_f
     t += 0.5 * Dt

@@ -544,7 +544,13 @@ class Form:
         nE = r_loc.shape[-1]
         return scatter_into(y, domain, r_loc.reshape(-1, nE).reshape(-1))
 
-    def residual(self, u, aux=None, params=None):
+    def residual(self, u, aux=None, params=None, chunk=None):
+        """Assembled residual. ``chunk`` as in jacobian_blocks: kernels with
+        heavy per-quadrature-point work (e.g. the biharmonic MMS source =
+        nested autodiff Hessians) hold per-element intermediates that OOM
+        HBM unchunked at million-element scale (round-4f biharmonic
+        workload bench, ResourceExhausted inside Form.residual)."""
+        chunk = _auto_chunk(chunk)
         aux = aux or {}
         r = jnp.zeros(self.n_dofs, dtype=u.dtype)
         for dom, kern in self.terms:
@@ -552,10 +558,22 @@ class Form:
                 continue
             u_loc = self._gather(dom, u)
             aux_loc = {k: self._gather(dom, v) for k, v in aux.items()}
-            ctx = dom.ctx()
-            r_loc = jax.vmap(kern, in_axes=(-1, -1, -1, None), out_axes=-1)(
-                u_loc, aux_loc, ctx, params
-            )
+            vker = jax.vmap(kern, in_axes=(-1, -1, -1, None), out_axes=-1)
+            nE = u_loc.shape[-1]
+            if chunk is None or nE <= chunk:
+                r_loc = vker(u_loc, aux_loc, dom.ctx(), params)
+            else:
+                data, make_ctx = dom.per_elem()
+                tree_c = _chunk_last((u_loc, aux_loc, data), chunk, nE)
+
+                def one(chunk_tree, vker=vker, make_ctx=make_ctx):
+                    ul, al, d = chunk_tree
+                    return vker(ul, al, make_ctx(d), params)
+
+                rc = jax.lax.map(one, tree_c)     # (nch, nb, nF, chunk)
+                r_loc = jnp.moveaxis(rc, 0, -2).reshape(
+                    rc.shape[1], rc.shape[2], -1
+                )[..., :nE]
             r = self._scatter_into(r, dom, r_loc)
         return r
 

@@ -386,10 +386,15 @@ class LatticeBinnedTerm2D:
             return planes.reshape(m * m, nx1, ny1)
 
         bi0, bj0, bcx, bcy = self.bbox
-        # slab budget: E planes (ne·9, f32, (L, slot)) + val (ne·km) + kap
-        # (int8) + Kb slice (ne²) + G output (81 slot-planes, no L axis)
-        per_x = bcy * (L * (4 * (ne * 9 + ne + ne * km + ne * ne) + ne * km)
-                       + 4 * 81)
+        # slab budget: E planes (ne·9, dt-sized, (L, slot)) + val (ne·km)
+        # + kap (int8) + Kb slice (ne²) + G output (81 slot-planes, no L
+        # axis). Element size from the working dtype (ADVICE r4: the
+        # hardcoded 4 made per_x ~2x optimistic for f64 tables).
+        esz = dt.itemsize
+        per_x = bcy * (
+            L * (esz * (ne * 9 + ne + ne * km + ne * ne) + ne * km)
+            + esz * 81
+        )
         slab = max(1, min(int(slab_bytes // max(per_x, 1)), bcx))
 
         def slab_contrib(planes, r0, n_x):

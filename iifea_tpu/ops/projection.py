@@ -27,6 +27,11 @@ class BackgroundOperator:
     With a trim mask t (basis-function removal, trimNodes common.py:261-332),
     application reproduces PETSc ``zeroRows``: trimmed rows become identity
     rows, other rows keep their (untrimmed) column entries.
+
+    ``shift`` (a (n_bg,) vector) applies the operator A + diag(shift) —
+    the pseudo-transient-continuation regularization of solve_nonlinear
+    (a capability the reference lacks; its only Newton rescue is
+    relax_param, common.py:474). Trim overrides shift on trimmed rows.
     """
 
     def __init__(
@@ -35,15 +40,19 @@ class BackgroundOperator:
         blocks: list[jnp.ndarray],
         M: ExtractionOperator,
         trim_mask: jnp.ndarray | None = None,
+        shift: jnp.ndarray | None = None,
     ):
         self.form = form
         self.blocks = blocks
         self.M = M
         self.n = M.n_bg_dofs
         self.trim_mask = trim_mask
+        self.shift = shift
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         y = self.M.rmv(self.form.matvec(self.blocks, self.M.mv(x)))
+        if self.shift is not None:
+            y = y + self.shift * x
         if self.trim_mask is not None:
             y = jnp.where(self.trim_mask, x, y)
         return y
@@ -56,6 +65,8 @@ class BackgroundOperator:
         """
         xi = x if self.trim_mask is None else jnp.where(self.trim_mask, 0.0, x)
         y = self.M.rmv(self.form.matvec_t(self.blocks, self.M.mv(xi)))
+        if self.shift is not None:
+            y = y + self.shift * xi
         if self.trim_mask is not None:
             y = y + jnp.where(self.trim_mask, x, 0.0)
         return y
@@ -66,21 +77,31 @@ class BackgroundOperator:
         Y = self.M.rmv_multi(
             self.form.matvec_multi(self.blocks, self.M.mv_multi(X))
         )
+        if self.shift is not None:
+            Y = Y + self.shift[None, :] * X
         if self.trim_mask is not None:
             Y = jnp.where(self.trim_mask[None, :], X, Y)
         return Y
 
     def with_trim(self, mask) -> "BackgroundOperator":
-        return BackgroundOperator(self.form, self.blocks, self.M, mask)
+        return BackgroundOperator(self.form, self.blocks, self.M, mask,
+                                  self.shift)
+
+    def with_shift(self, shift) -> "BackgroundOperator":
+        """A + diag(shift) (PTC regularization; see class docstring)."""
+        return BackgroundOperator(self.form, self.blocks, self.M,
+                                  self.trim_mask, shift)
 
     def tree_flatten(self):
-        return (self.form, self.blocks, self.M, self.trim_mask), None
+        return (self.form, self.blocks, self.M, self.trim_mask,
+                self.shift), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        form, blocks, M, trim_mask = children
+        form, blocks, M, trim_mask, shift = children
         obj = object.__new__(cls)
         obj.form, obj.blocks, obj.M, obj.trim_mask = form, blocks, M, trim_mask
+        obj.shift = shift
         obj.n = M.n_bg_dofs
         return obj
 
@@ -128,6 +149,8 @@ class BackgroundOperator:
                 body, jnp.zeros(self.n, K.dtype), (Kc_all, ic_all, vc_all)
             )
             d = d + partial
+        if self.shift is not None:
+            d = d + self.shift
         if self.trim_mask is not None:
             d = jnp.where(self.trim_mask, 1.0, d)
         return d
@@ -190,6 +213,9 @@ class BackgroundOperator:
             )
             out = out + partial
         blocks = jnp.moveaxis(out, -1, 0)                  # (m, nf, nf)
+        if self.shift is not None:
+            sh = self.shift.reshape(nf, m).T               # (m, nf)
+            blocks = blocks + sh[:, :, None] * jnp.eye(nf, dtype=dtype)
         if self.trim_mask is not None:
             tm = self.trim_mask.reshape(nf, m)             # [field, node]
             eye = jnp.eye(nf, dtype=dtype)
@@ -226,6 +252,8 @@ class BackgroundOperator:
         A_f = sum(mats[1:], mats[0]).tocsr()
         Msp = self.M.to_scipy()
         A_b = (Msp.T @ A_f @ Msp).tocsr()
+        if self.shift is not None:
+            A_b = (A_b + sp.diags(np.asarray(self.shift))).tocsr()
         if self.trim_mask is not None:
             mask = np.asarray(self.trim_mask)
             A_b = _zero_rows_scipy(A_b, np.where(mask)[0])

@@ -308,8 +308,8 @@ def _mg_solve(A, b, x0, lattice_shape, method, rtol, atol, max_it,
         Q = _deflation_space(S, n_fields, sdt)
     else:
         S = None
-        if (A.trim_mask is None and A.form.space is not None
-                and stencil_radius == 2):
+        if (A.trim_mask is None and getattr(A, "shift", None) is None
+                and A.form.space is not None and stencil_radius == 2):
             # the binned/window reducers assume the degree-1 simplex lattice
             # (radius-2) geometry; other radii (e.g. 3 for quadratic B-spline
             # backgrounds) take the general colored probe

@@ -67,6 +67,7 @@ def solve_nonlinear(
     n_fields: int = 1,
     line_search: bool = False,
     max_halvings: int = 8,
+    ptc_sigma0: float | None = None,
 ):
     """Newton's iteration; returns (u_p, u_f) with u_f = M u_p kept in sync.
 
@@ -80,7 +81,15 @@ def solve_nonlinear(
     exact reference parity: step α·relax·du with α halved from 1 until
     ||R(u - α·relax·du)|| <= (1 - 1e-4 α)||R(u)||; if no α in
     ``max_halvings`` qualifies, the least-bad trial is taken (so a
-    stagnating search still makes progress instead of stepping blind)."""
+    stagnating search still makes progress instead of stepping blind).
+
+    ``ptc_sigma0`` enables pseudo-transient continuation: each linearized
+    solve uses A + σ_k·|diag(A)| with σ_k = σ0·min(1, ||R_k||/||R_0||)
+    (switched evolution relaxation). Regularizes the near-singular
+    linearizations of badly cut / under-resolved problems where the raw
+    Newton direction is garbage and NO step length helps (the TG synthetic
+    ref-1 failure mode); σ decays with the residual, restoring Newton
+    convergence near the solution. The reference has no counterpart."""
     aux = aux or {}
     initial_norm = initial_norm_res = None
     converged = False
@@ -102,20 +111,26 @@ def solve_nonlinear(
             smax, smin = estimate_condition_number(A)
             log_info(f"sigma_max: {smax}, sigma_min: {smin}")
 
+        current_norm_res = float(jnp.linalg.norm(R_b))
+        if i == 0:
+            initial_norm_res = current_norm_res
+        relative_norm_res = current_norm_res / max(initial_norm_res, 1e-300)
+        if ptc_sigma0 is not None:
+            sig = ptc_sigma0 * min(1.0, relative_norm_res)
+            A = A.with_shift(
+                jnp.asarray(sig, R_b.dtype) * jnp.abs(A.diag())
+            )
         du_p, _ = solve_ksp(
             A, R_b, method=linear_method or "gmres", pc=linear_pc or "jacobi",
             monitor=monitor_linear, rtol=linear_rtol, atol=linear_atol,
             lattice_shape=lattice_shape, n_fields=n_fields,
         )
         current_norm = float(jnp.linalg.norm(du_p))
-        current_norm_res = float(jnp.linalg.norm(R_b))
         if i == 0:
             initial_norm = current_norm
-            initial_norm_res = current_norm_res
         if du_0_mag is not None:
             initial_norm = du_0_mag
         relative_norm = current_norm / max(initial_norm, 1e-300)
-        relative_norm_res = current_norm_res / max(initial_norm_res, 1e-300)
         if monitor_newton:
             log_info(
                 f"Newton solver iteration: {i}, Relative norm of du: "

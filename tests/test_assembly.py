@@ -155,3 +155,18 @@ def test_auto_chunk_env(monkeypatch):
     assert _auto_chunk(None) == 1024
     monkeypatch.setenv("IIFEA_ASSEMBLY_CHUNK", "0")
     assert _auto_chunk(None) is None       # env 0 disables too
+
+
+def test_residual_chunked_matches_unchunked():
+    """Form.residual(chunk=...) (the biharmonic-workload HBM fix) is
+    numerically identical to the one-shot evaluation."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.poisson import PoissonProblem
+
+    mesh_f, M = immersed_square_problem(n_fg=16, n_bg=8)
+    prob = PoissonProblem(mesh_f, k=1, sym=True, beta_value=10)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(prob.space.n_dofs))
+    r_ref = np.asarray(prob.form.residual(u, chunk=0))
+    r_chk = np.asarray(prob.form.residual(u, chunk=37))
+    assert np.allclose(r_chk, r_ref, atol=1e-12 * max(np.abs(r_ref).max(), 1))

@@ -87,3 +87,19 @@ def test_pinned_shell_gold():
     x, y, z = (float(m.group(i)) for i in (1, 2, 3))
     assert abs(x) < 1e-10 and abs(y) < 1e-10
     assert abs(z - 0.0077391) < 5e-4
+
+
+@pytest.mark.slow
+def test_tg_synthetic_ref1_ptc_converges():
+    """VERDICT r4 item 6 pin: the coarsest synthetic TG cut (ref 1) carries
+    a near-singular linearization where raw Newton diverges with every pc
+    and with --bfr. Pseudo-transient continuation + backtracking line
+    search (capabilities the reference lacks — its only knob is
+    relax_param, common.py:474) converge it onto the rate-2 curve:
+    L2u ref1 = 3.96x the recorded ref-2 value."""
+    out = run_demo(["demos/tg_vortex.py", "--k", "1", "--ref", "1",
+                    "--Re", "100", "--T", "1.0", "--mesh-root", "synthetic",
+                    "--solv", "gmres", "--pc", "mg",
+                    "--ptc", "0.05", "--line-search"])
+    l2u = grab(out, f"L2 velocity error: {FLOAT}")
+    assert abs(l2u - 0.005993) < 5e-4
