@@ -218,3 +218,141 @@ class ShardedMultigrid3D(_ShardedMGBase):
     """Sharded V-cycle over a StencilMultigrid3D hierarchy (x-slab blocks)."""
 
     dim = 3
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedMultigridBlock2D:
+    """Row-block-sharded V-cycle over a StencilMultigridBlock hierarchy —
+    the vector-field (elasticity / NS / shell) analog of ShardedMultigrid2D.
+    Fields stay replicated in layout; lattice rows shard over 'dp'; the
+    point-block-Jacobi inverse blocks ride as (nF, nF, nx, ny) planes."""
+
+    def __init__(self, mg, mesh: DeviceMesh, min_shard_rows: int | None = None):
+        self.mesh = mesh
+        self.nu_pre, self.nu_post = mg.nu_pre, mg.nu_post
+        self.omega = mg.omega
+        self.coarse_sweeps = mg.coarse_sweeps
+        ndev = mesh.devices.size
+        if min_shard_rows is None:
+            min_shard_rows = max(4 * ndev, 16)
+        self.shapes = [tuple(S.shape) for S in mg.levels]
+        self.radii = [S.radius for S in mg.levels]
+        self.n_fields = mg.levels[0].n_fields
+        self.C, self.binv, self._specs = [], [], []
+        for S, binv in zip(mg.levels, mg.binvs):
+            sh = tuple(S.shape)
+            nF = S.n_fields
+            sharded = sh[0] >= min_shard_rows
+            spec_x = P(None, "dp", None) if sharded else P(None, None, None)
+            self._specs.append(spec_x)
+            pad_rows = (-(-sh[0] // ndev) * ndev - sh[0]) if sharded else 0
+            # C: (nF, nF, m², nx, ny) — rows are axis 3
+            Cp = jnp.pad(
+                S.coeffs,
+                ((0, 0),) * 3 + ((0, pad_rows), (0, 0)),
+            )
+            self.C.append(_put(Cp, mesh, P(None, None, None, *spec_x[1:])))
+            # binv: (nF, nF, nn) -> (nF, nF, nx, ny) planes
+            b4 = jnp.pad(
+                binv.reshape(nF, nF, *sh),
+                ((0, 0), (0, 0), (0, pad_rows), (0, 0)),
+            )
+            self.binv.append(_put(b4, mesh, P(None, None, *spec_x[1:])))
+        self.coarse_inv = (
+            None if mg.coarse_inv is None else _put(mg.coarse_inv, mesh, P())
+        )
+        self._x_sharding = NamedSharding(mesh, P(None, "dp", None))
+
+    def tree_flatten(self):
+        return (self.C, self.binv, self.coarse_inv), (
+            self.mesh, self.nu_pre, self.nu_post, self.omega,
+            self.coarse_sweeps, tuple(self.shapes), tuple(self.radii),
+            self.n_fields, tuple(self._specs),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.C, obj.binv, obj.coarse_inv = children
+        (obj.mesh, obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps,
+         shapes, radii, obj.n_fields, specs) = aux
+        obj.shapes = list(shapes)
+        obj.radii = list(radii)
+        obj._specs = list(specs)
+        obj._x_sharding = NamedSharding(obj.mesh, P(None, "dp", None))
+        return obj
+
+    def _c(self, lvl: int, x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, self._specs[lvl])
+        )
+
+    def _mv(self, lvl: int, x3):
+        """Block stencil apply on (nF, nx, ny) planes."""
+        sh = self.shapes[lvl]
+        r = self.radii[lvl]
+        m = 2 * r + 1
+        nF = self.n_fields
+        C = self.C[lvl]
+        if C.shape[3] != sh[0]:
+            C = jax.lax.slice_in_dim(C, 0, sh[0], axis=3)
+        xs = jnp.pad(x3, ((0, 0), (r, r), (r, r)))
+        outs = []
+        for f1 in range(nF):
+            acc = jnp.zeros(sh, x3.dtype)
+            for f2 in range(nF):
+                for k in range(m * m):
+                    oi, oj = divmod(k, m)
+                    acc = acc + C[f1, f2, k] * jax.lax.slice(
+                        xs[f2], (oi, oj), (oi + sh[0], oj + sh[1])
+                    )
+            outs.append(acc)
+        return jnp.stack(outs)
+
+    def _binvlvl(self, lvl: int):
+        sh = self.shapes[lvl]
+        b = self.binv[lvl]
+        if b.shape[2] != sh[0]:
+            b = jax.lax.slice_in_dim(b, 0, sh[0], axis=2)
+        return b
+
+    def _smooth(self, lvl: int, x, b, sweeps: int):
+        om = self.omega
+        Binv = self._binvlvl(lvl)
+
+        def body(_, x):
+            r3 = b - self._mv(lvl, x)
+            z = jnp.einsum("abxy,bxy->axy", Binv, r3)
+            return self._c(lvl, x + om * z)
+
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+    def _vcycle(self, lvl: int, b):
+        if lvl == len(self.shapes) - 1:
+            if self.coarse_inv is not None:
+                z = (self.coarse_inv @ b.reshape(-1)).reshape(b.shape)
+                return self._c(lvl, z)
+            return self._smooth(lvl, jnp.zeros_like(b), b, self.coarse_sweeps)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.nu_pre)
+        r3 = b - self._mv(lvl, x)
+        rc = self._c(lvl + 1, jax.vmap(_restrict)(r3))
+        xc = self._vcycle(lvl + 1, rc)
+        x = self._c(lvl, x + jax.vmap(_prolong)(xc))
+        return self._smooth(lvl, x, b, self.nu_post)
+
+    def minv_plane(self, r3):
+        return self._vcycle(0, self._c(0, r3))
+
+    def minv(self, r):
+        nF = self.n_fields
+        sh = self.shapes[0]
+        return self.minv_plane(r.reshape(nF, *sh)).reshape(-1)
+
+    def minv_padded(self, r3):
+        """(nF, nxs, ny) padded sharded planes, the
+        parallel/stencil.ShardedStencilBlock2D layout."""
+        sh = self.shapes[0]
+        nxs = r3.shape[1]
+        z = self.minv_plane(r3[:, : sh[0]])
+        z3 = jnp.pad(z, ((0, 0), (0, nxs - sh[0]), (0, 0)))
+        return jax.lax.with_sharding_constraint(z3, self._x_sharding)

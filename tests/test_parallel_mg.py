@@ -153,3 +153,57 @@ def test_sharded_mg_pcg_solves():
     assert np.allclose(x_sh[mask], ref[mask], atol=2e-4 * scale)
     # similar iteration counts: same preconditioner quality
     assert abs(int(info.iters) - int(info_ref.iters)) <= 4
+
+
+@needs_devices
+def test_sharded_mg_block2d_minv_matches_single():
+    """Block (vector-field) sharded V-cycle parity on a synthetic immersed
+    elasticity operator (nF=2), plus end-to-end sharded block MG-CG."""
+    from iifea_tpu.mesh.generators import immersed_square_problem
+    from iifea_tpu.models.elasticity import ImmersedElasticityProblem
+    from iifea_tpu.ops.multigrid import StencilMultigridBlock
+    from iifea_tpu.ops.projection import BackgroundOperator
+    from iifea_tpu.ops.stencil import StencilOperatorBlock2D
+    from iifea_tpu.parallel.multigrid import ShardedMultigridBlock2D
+    from iifea_tpu.parallel.stencil import ShardedStencilBlock2D
+    from iifea_tpu.solvers import krylov
+
+    n_bg = 24
+    mesh_f, M = immersed_square_problem(n_fg=48, n_bg=n_bg, n_fields=2)
+    prob = ImmersedElasticityProblem(mesh_f, k=1)
+    blocks = prob.form.jacobian_blocks(jnp.zeros(prob.space.n_dofs))
+    A = BackgroundOperator(prob.form, blocks, M)
+    S = StencilOperatorBlock2D.probe_multi(
+        A.mv_multi, (n_bg + 1, n_bg + 1), n_fields=2, radius=2,
+        dtype=jnp.float64,
+    )
+    mg = StencilMultigridBlock(S)
+    mesh = make_device_mesh(8)
+    smg = ShardedMultigridBlock2D(mg, mesh, min_shard_rows=16)
+    assert smg._specs[0][1] == "dp"
+    assert smg._specs[-1][1] is None
+
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.standard_normal(S.n))
+    z_ref = np.asarray(mg.minv(r))
+    z_sh = np.asarray(jax.jit(smg.minv)(r))
+    scale = max(np.abs(z_ref).max(), 1e-30)
+    assert np.allclose(z_sh, z_ref, atol=1e-10 * scale)
+
+    # end-to-end: sharded block CG with the sharded block V-cycle
+    Ssh = ShardedStencilBlock2D(S, mesh)
+    # rhs manufactured in the operator's range: a raw random vector has
+    # components on dead (unsupported) dofs, which no solver can reach
+    x_true = jnp.asarray(rng.standard_normal(S.n))
+    b = S.mv(x_true)
+
+    @jax.jit
+    def cg_sh(b3):
+        return krylov.cg(Ssh.mvb, b3, minv=smg.minv_padded, rtol=1e-8,
+                         atol=1e-30, max_it=400, check_every=4)
+
+    x3, info = cg_sh(Ssh.shard_vec(b))
+    assert bool(info.converged)
+    x_sh = Ssh.unshard_vec(x3)
+    rel = float(jnp.linalg.norm(S.mv(x_sh) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-6, rel
