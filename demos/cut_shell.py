@@ -44,6 +44,11 @@ parser.add_argument('--wv', dest='wv', default=False,
                          '(bent_shell_results/disp.pvd) on the mapped '
                          'midsurface, one snapshot per load step '
                          '(File("...pvd") role, cut_shell.py:342-349)')
+parser.add_argument('--line-search', dest='line_search', default=False,
+                    action='store_true',
+                    help='Backtracking line search on ||R|| inside Newton (globalization beyond the reference, common.py:474).')
+parser.add_argument('--ptc', dest='ptc', type=float, default=None,
+                    help='Pseudo-transient continuation sigma0 (A + sigma_k|diag A|, sigma decaying with the residual).')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"))
@@ -126,6 +131,7 @@ for i in range(start_step, N_STEPS):
         params={"t": jnp.asarray(t)},
         max_iters=100, linear_method='direct',
         monitor_newton=False,
+        line_search=args.line_search, ptc_sigma0=args.ptc,
     )                                              # cut_shell.py:372-374
     t += DELTA_T
     tip_hist[i] = prob.evaluate(u_f, [circle_tip])[0]

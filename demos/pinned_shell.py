@@ -20,6 +20,11 @@ from iifea_tpu.utils.logging import log_info
 parser = argparse.ArgumentParser()
 parser.add_argument('--ref', dest='ref', default='5',
                     help='Refinement level, integers in (4,6)')
+parser.add_argument('--line-search', dest='line_search', default=False,
+                    action='store_true',
+                    help='Backtracking line search on ||R|| inside Newton (globalization beyond the reference, common.py:474).')
+parser.add_argument('--ptc', dest='ptc', type=float, default=None,
+                    help='Pseudo-transient continuation sigma0 (A + sigma_k|diag A|, sigma decaying with the residual).')
 parser.add_argument('--mesh-root', dest='mesh_root',
                     default=os.environ.get("IIFEA_MESH_ROOT",
                                            "/root/reference/meshes"))
@@ -55,6 +60,7 @@ u_soln, u_f = solve_nonlinear(
     monitor_newton=False, monitor_linear=False,
     relative_tolerance=5e-4, relax_param=1.0,
     absolute_tolerance=1e-4, absolute_tolerance_res=1e-5,
+    line_search=args.line_search, ptc_sigma0=args.ptc,
 )                                                  # pinned_shell.py:245-250
 
 middle = [0.0, 0.0]
