@@ -509,6 +509,19 @@ def _classify_backend_error(e: Exception) -> str:
     return "tpu_unavailable"
 
 
+def _error_frames() -> list:
+    """Repo-local frames of the active exception — async TPU errors carry a
+    one-line message, so the record must say WHERE the failure surfaced
+    (round-4f lost a day to 'ResourceExhausted.' with no location)."""
+    import traceback
+
+    return [
+        f"{os.path.relpath(fr.filename, HERE)}:{fr.lineno}:{fr.name}"
+        for fr in traceback.extract_tb(sys.exc_info()[2])
+        if fr.filename.startswith(HERE)
+    ][-6:]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-bg", type=int, default=None,
@@ -602,6 +615,7 @@ def main():
                 "metric": f"immersed_{args.workload}_bench",
                 "value": 0.0, "unit": "s", "vs_baseline": 0.0,
                 "error": _classify_backend_error(e), "detail": str(e)[:300],
+                "frames": _error_frames(),
             }))
         return
 
@@ -616,6 +630,7 @@ def main():
             "metric": "immersed_poisson_bench",
             "value": 0.0, "unit": "s", "vs_baseline": 0.0,
             "error": _classify_backend_error(e), "detail": str(e)[:300],
+            "frames": _error_frames(),
         }))
         sys.exit(0)
 
