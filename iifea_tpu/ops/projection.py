@@ -71,9 +71,35 @@ class BackgroundOperator:
             y = y + jnp.where(self.trim_mask, x, 0.0)
         return y
 
+    def _stacked_copy_bytes(self, k: int) -> int:
+        """Worst-case padded transpose copy the stacked multi-apply can
+        force. XLA:TPU lowers the batched axis-1 gathers of
+        rmv_multi/scatter_into_multi by materializing the operand
+        TRANSPOSED, (flat_len, k) — and the minor k axis tile-pads to 128
+        lanes, a x(128/k) blowup. Measured: the biharmonic workload probe
+        (chunk 13, kmax·n_fg = 37.6M) planned a 19.3 GB copy for 1.96 GB
+        of data and OOMed the v5e at compile (round 5)."""
+        itemsize = self.blocks[0].dtype.itemsize if self.blocks else 4
+        flat = int(np.prod(self.M._d_idx.shape))     # kmax * n_fg
+        for (dom, _) in self.form.terms:
+            ne, nE = dom.eldofsT.shape
+            flat = max(flat, ne * nE)
+        return flat * max(k, 128) * itemsize
+
     def mv_multi(self, X: jnp.ndarray) -> jnp.ndarray:
         """Multi-RHS application, stacked (k, n_bg): amortizes gather latency
-        while keeping the dof axis minormost (TPU lane-aligned)."""
+        while keeping the dof axis minormost (TPU lane-aligned).
+
+        Above IIFEA_MULTI_TEMP_MB (default 2048) of worst-case padded copy
+        (see _stacked_copy_bytes) the columns run through a sequential
+        lax.map of single applies instead — 1-D gathers, no batched
+        transpose copies."""
+        import os
+
+        k = X.shape[0]
+        budget = float(os.environ.get("IIFEA_MULTI_TEMP_MB", 2048)) * 2 ** 20
+        if k > 1 and self._stacked_copy_bytes(k) > budget:
+            return jax.lax.map(self.mv, X)
         Y = self.M.rmv_multi(
             self.form.matvec_multi(self.blocks, self.M.mv_multi(X))
         )
