@@ -354,10 +354,25 @@ class CellWindowTerm:
             [jnp.zeros((1, ne * ne), dtype), rows], axis=0
         )
 
-        # slab size from the workspace budget: E + T (ne·w each) + val
-        # (ne·km, counted twice for hi+lo) + bound K (ne²), all (L, n_sl)
-        per_x = rest * L * (2 * ne * w + 2 * ne * km + ne * ne)
-        per_x *= dtype.itemsize
+        # Every intermediate keeps the slot axis minormost and the tiny
+        # (ne, w) contractions either unrolled into plane FMAs or merged
+        # into one large (ne·L) axis: the old dot_general formulation's
+        # (L, n_sl, ne, w) operands tile the (ne, w) minor axes to (8, 128)
+        # on TPU — the same 19-57x padding expansion that OOM'd the 2D
+        # headline (lattice_bin.stencil_planes_bound) resurfaced here as
+        # the 3D 1M-dof bench ResourceExhausted (round 5 diag: probe stage).
+        esz = dtype.itemsize
+        # slab budget (bytes per bbox x-row), padded sizes included:
+        #   val+kap slices, E + T plane lists, Kc gather + transpose,
+        #   (f32 dot path) Et/Tt in (n_sl, w, ne·L) padded to lane/sublane
+        #   multiples, and the G output (n_sl, w, w) padded likewise.
+        pad_s = -(-w // 8) * 8                       # sublane multiple
+        pad_l = -(-(ne * L) // 128) * 128            # lane multiple
+        per_x = rest * (
+            L * (ne * km * (esz + 1) + 2 * ne * w * esz + 2 * ne * ne * esz)
+            + 2 * pad_s * pad_l * esz
+            + pad_s * (-(-w // 128) * 128) * esz
+        )
         slab = max(1, min(int(slab_bytes // max(per_x, 1)), sx))
 
         def slab_contrib(planes, i0, n_x):
@@ -373,22 +388,55 @@ class CellWindowTerm:
                 ).astype(dtype)
             kap = jax.lax.dynamic_slice_in_dim(self.kappa, lo, n_sl, 3)
             prm = jax.lax.dynamic_slice_in_dim(self.perm, lo, n_sl, 1)
-            Kc = rows[prm.reshape(-1)].reshape(L, n_sl, ne, ne)
-            cols = []
-            for d in range(w):
-                acc = jnp.zeros((ne, L, n_sl), dtype)
-                for ka in range(km):
-                    acc = acc + val[:, ka] * (kap[:, ka] == d).astype(dtype)
-                cols.append(acc)
-            E = jnp.stack(cols, axis=1)                  # (ne, w, L, n_sl)
-            E_b = jnp.transpose(E, (2, 3, 0, 1))         # (L, n_sl, ne, w)
-            T = jax.lax.dot_general(
-                Kc, E_b, (((3,), (2,)), ((0, 1), (0, 1))), precision=hi,
-            )                                            # (L, n_sl, ne, w)
-            G = jax.lax.dot_general(
-                E_b, T, (((0, 2), (0, 2)), ((1,), (1,))), precision=hi,
-            )                                            # (n_sl, w, w)
-            G = G.reshape((n_x,) + tuple(sizes[1:]) + (w, w))
+            # (L, ne², n_sl): slot axis minormost, no (ne, ne) minor tile
+            Kc = jnp.transpose(
+                rows[prm.reshape(-1)].reshape(L, n_sl, ne * ne), (0, 2, 1)
+            )
+            # E[b][d]: (L, n_sl) — unrolled masked-class select
+            E = [[None] * w for _ in range(ne)]
+            for b in range(ne):
+                for d in range(w):
+                    acc = val[b, 0] * (kap[b, 0] == d).astype(dtype)
+                    for kb in range(1, km):
+                        acc = acc + val[b, kb] * (kap[b, kb] == d).astype(
+                            dtype
+                        )
+                    E[b][d] = acc
+            # T[a][d]: (L, n_sl) = Σ_b K[a,b]·E[b][d] — unrolled plane FMAs
+            T = [[None] * w for _ in range(ne)]
+            for a in range(ne):
+                for d in range(w):
+                    t = Kc[:, a * ne] * E[0][d]
+                    for b in range(1, ne):
+                        t = t + Kc[:, a * ne + b] * E[b][d]
+                    T[a][d] = t
+
+            def g_vec(d1, d2):
+                g = E[0][d1] * T[0][d2]
+                for a in range(1, ne):
+                    g = g + E[a][d1] * T[a][d2]
+                return jnp.sum(g, axis=0)                # (n_sl,)
+
+            G = None
+            if dtype == jnp.float32:
+                # one large batched contraction on the MXU: combined
+                # (a, l) axis of size ne·L is the contraction (lane-pads
+                # 1.33x), w sublane-pads to 32 — instead of w² unrolled
+                # plane reductions re-reading E/T w times each
+                Ehat = jnp.stack([
+                    jnp.concatenate([E[b][d] for b in range(ne)])
+                    for d in range(w)
+                ])                                       # (w, ne·L, n_sl)
+                That = jnp.stack([
+                    jnp.concatenate([T[a][d] for a in range(ne)])
+                    for d in range(w)
+                ])
+                Et = jnp.transpose(Ehat, (2, 0, 1))      # (n_sl, w, ne·L)
+                Tt = jnp.transpose(That, (2, 0, 1))
+                G = jax.lax.dot_general(
+                    Et, Tt, (((2,), (2,)), ((0,), (0,))), precision=hi,
+                )                                        # (n_sl, w, w)
+
             reg = (n_x,) + tuple(sizes[1:])
             for d1 in range(w):
                 place_r = tuple(
@@ -402,9 +450,10 @@ class CellWindowTerm:
                         k = k * m + int(o[d]) + radius
                     at = (k, px) + place_r
                     cur = jax.lax.dynamic_slice(planes, at, (1,) + reg)
-                    contrib = G[..., d1, d2].reshape((1,) + reg)
+                    gv = (G[..., d1, d2] if G is not None
+                          else g_vec(d1, d2))
                     planes = jax.lax.dynamic_update_slice(
-                        planes, cur + contrib, at
+                        planes, cur + gv.reshape((1,) + reg), at
                     )
             return planes
 

@@ -199,9 +199,12 @@ class BinnedLatticeSolver:
                 C = lattice_bin.stencil_planes_binned_bound(reds, bound)
                 return StencilOperator2D(C, self.shape, 2)
             # fused f32 slab-scan probe straight from the compact blocks:
-            # no slot-bound K and no materialized G (the round-4 3D OOM)
+            # no slot-bound K and no materialized G (the round-4 3D OOM).
+            # IIFEA_SLAB_BYTES bounds the per-slab workspace (HBM headroom
+            # knob for the 1M-dof 3D bench).
             C = cell_window.stencil_planes_windows(
-                reds, bound, dtype=jnp.float32
+                reds, bound, dtype=jnp.float32,
+                slab_bytes=float(os.environ.get("IIFEA_SLAB_BYTES", 1.5e9)),
             )
             if self.dim == 2:
                 return StencilOperator2D(C, self.shape, 2)
@@ -235,8 +238,13 @@ class BinnedLatticeSolver:
 
         @jax.jit
         def _cg32(S32, mg, r, rtol_pass):
-            # mv_ref: no Pallas custom calls in conv-bearing loop bodies
-            mv = S32.mv_ref if self.dim == 2 else S32.mv
+            # mv_ref in BOTH dims: no Pallas custom calls in conv-bearing
+            # loop bodies (PERF.md §3), and the radius-2 3D Pallas kernel
+            # crashed the TPU worker inside the refine loop on silicon
+            # (round-5 diag) while radius-1 measured no faster than XLA's
+            # 27-term fusion — the 3D Pallas mv stays A/B-only
+            # (tools/ab_stencil3.py).
+            mv = S32.mv_ref
             return krylov.cg(
                 mv, r, minv=mg.minv, rtol=rtol_pass, atol=1e-30,
                 max_it=500, check_every=4,
@@ -251,7 +259,8 @@ class BinnedLatticeSolver:
             # the device. Semantics match refine(): pass 0 solves on b
             # directly; each pass measures the df/general residual after
             # its CG correction and stops at rtol or the pass budget.
-            mv = S32.mv_ref if self.dim == 2 else S32.mv
+            # mv_ref in both dims — see _cg32.
+            mv = S32.mv_ref
 
             def cgp(r32, relres):
                 rtol_pass = jnp.clip(0.25 * rtol / relres, 1e-6, 3e-2)
