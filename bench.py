@@ -548,6 +548,14 @@ def main():
         # hierarchy: n+1 (P1) resp. n+2 (quadratic B-spline) must be 2^k+1
         args.n_bg = {"poisson": 1024, "elasticity": 512,
                      "biharmonic": 511}[args.workload]
+        if args.dim == 3 and args.workload == "poisson":
+            # 105^3 = 1.157M >= 1M dofs AND coarsens 105-53-27-14 to a
+            # dense coarse inverse. The first 3D attempt used n_bg=100,
+            # whose 101-51-26 ladder bottoms out at 26^3 = 17.6k dofs with
+            # only Jacobi sweeps as the "coarse solve": CG then ran 3132
+            # iterations (6 passes at the cap) and the bench lost to the
+            # CPU baseline (80.7 s vs 42.9 s, r5).
+            args.n_bg = 104
 
     if args.devices > 1:
         # honor IIFEA_PLATFORM *before* the first backend touch: with the

@@ -42,6 +42,10 @@ parser.add_argument('--b', dest='beta_val', default=5, help='Beta penalty')
 parser.add_argument('--a', dest='alpha_val', default=5, help='alpha penalty')
 parser.add_argument('--ft', dest='ft', default=1e-5,
                     help='cell volume filtering tolerance')
+parser.add_argument('--snap', dest='snap', default=False,
+                    help="synthetic 2D only: snap the staircase cut onto "
+                         "the exact rotated square (restores the L2 "
+                         "duality rate the staircase corners destroy)")
 parser.add_argument('--mms', dest='mms', default='reference',
                     choices=('reference', 'steep'),
                     help="manufactured solution: 'reference' is the "
@@ -108,7 +112,7 @@ if args.mesh_root == "synthetic":
         # artifacts are nested by construction).
         n_bg = 2 ** (int(ref) + 4) - 1
         mesh_f, M, lattice_shape = immersed_square_bspline_problem(
-            n_fg=2 * n_bg, n_bg=n_bg
+            n_fg=2 * n_bg, n_bg=n_bg, snap_boundary=str2bool(args.snap)
         )
     prob = BiharmonicProblem(
         mesh_f, sym=symmetric, beta_value=float(args.beta_val),

@@ -69,7 +69,7 @@ class CellWindowTerm:
     """
 
     def __init__(self, val_b, kappa, perm, shape, meta=None, val_lo=None,
-                 bbox=None):
+                 bbox=None, spill=None):
         self.val_b = val_b
         self.kappa = kappa
         self.perm = perm
@@ -77,6 +77,7 @@ class CellWindowTerm:
         self.shape = tuple(shape)
         self.meta = meta                 # (ne, km, L, nc)
         self.bbox = bbox                 # (starts tuple, sizes tuple)
+        self.spill = spill               # CompactWindowTerm | None (l_cap)
 
     @property
     def dim(self) -> int:
@@ -87,26 +88,34 @@ class CellWindowTerm:
         return 3 ** self.dim
 
     def tree_flatten(self):
-        return (self.val_b, self.kappa, self.perm, self.val_lo), (
-            self.shape, self.meta, self.bbox,
-        )
+        return (self.val_b, self.kappa, self.perm, self.val_lo,
+                self.spill), (self.shape, self.meta, self.bbox)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        val_b, kappa, perm, val_lo = leaves
+        val_b, kappa, perm, val_lo, spill = leaves
         shape, meta, bbox = aux
-        return cls(val_b, kappa, perm, shape, meta, val_lo, bbox)
+        return cls(val_b, kappa, perm, shape, meta, val_lo, bbox, spill)
 
     # -- host construction ----------------------------------------------------
 
     @staticmethod
     def build(flat_eldofs: np.ndarray, M, shape, radius: int = 2,
-              dtype=np.float32, df: bool = False) -> "CellWindowTerm":
+              dtype=np.float32, df: bool = False,
+              l_cap=None) -> "CellWindowTerm":
         """flat_eldofs: (nE, ne) foreground dof ids of the term's elements;
         M: scalar ExtractionOperator; shape: lattice (n1+1, ..., nd+1).
 
         Raises LatticeBinError if any element's extraction targets exceed
         the {0..2}^dim window (elements wider than the background spacing).
+
+        ``l_cap``: cap the dense slot depth; overflow slots spill into a
+        CompactWindowTerm (probe-only). The min-corner anchoring is heavily
+        skewed — measured p50=6 / p99=24 / max=48 occupancy at the 3D
+        1M-dof bench — so the dense (ne, km, L, nc) tables at L=max pay
+        ~2x the HBM of L=p99 for <1% of the slots. 'auto' picks the 99th
+        occupancy percentile. None (default) keeps one exact dense table
+        (required by the df apply/project paths, which do not see spills).
         """
         if radius != 2:
             raise LatticeBinError("cell-window binning implemented for radius 2")
@@ -181,13 +190,28 @@ class CellWindowTerm:
         np.cumsum(counts[:-1], out=cstarts[1:])
         slot = np.arange(cell.size, dtype=np.int64) - cstarts[cell_s]
 
-        perm = np.zeros((L, nc), dtype=np.int32)
-        perm[slot, cell_s] = (use[order] + 1).astype(np.int32)
-
         src = use[order]
         kap = np.zeros((nE, ne, km), dtype=np.int8)
         for d in range(dim):
             kap = kap * 3 + np.clip(deltas[d], 0, 2).astype(np.int8)
+
+        if l_cap == "auto":
+            used = counts[counts > 0]
+            l_cap = (max(int(np.percentile(used, 99)), 4)
+                     if used.size else None)
+        spill = None
+        if l_cap is not None and L > int(l_cap) and not df:
+            l_cap = int(l_cap)
+            over = slot >= l_cap
+            spill = CompactWindowTerm._build(
+                shape, starts, sizes, cell_s[over], slot[over] - l_cap,
+                src[over], tval, valid, kap, dtype,
+            )
+            cell_s, slot, src = cell_s[~over], slot[~over], src[~over]
+            L = l_cap
+
+        perm = np.zeros((L, nc), dtype=np.int32)
+        perm[slot, cell_s] = (src + 1).astype(np.int32)
 
         val_t = np.zeros((ne, km, L, nc), dtype=dtype)
         kap_t = np.zeros((ne, km, L, nc), dtype=np.int8)
@@ -205,7 +229,7 @@ class CellWindowTerm:
             jnp.asarray(val_t), jnp.asarray(kap_t), jnp.asarray(perm),
             shape, meta=(ne, km, L, nc),
             val_lo=jnp.asarray(val_lo_t) if val_lo_t is not None else None,
-            bbox=(tuple(starts), tuple(sizes)),
+            bbox=(tuple(starts), tuple(sizes)), spill=spill,
         )
 
     # -- runtime binding (same contiguous-row gather as lattice_bin) -----------
@@ -239,6 +263,13 @@ class CellWindowTerm:
 
     # -- window assembly (the probe replacement) --------------------------------
 
+    def _no_spill(self, what: str):
+        if self.spill is not None:
+            raise LatticeBinError(
+                f"{what} is not available on an l_cap-split table (the "
+                "overflow slots live in .spill); build with l_cap=None"
+            )
+
     def window_g(self, Kb: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
         """G (nc, w, w) = Σ_l E_lᵀ K_l E_l — batched congruence on the MXU.
 
@@ -246,6 +277,7 @@ class CellWindowTerm:
         batch; columns are processed in static slices so the E workspace
         stays bounded (default targets ~256 MB of E per chunk).
         """
+        self._no_spill("window_g")
         ne, km, L, nc = self.meta
         w = self.w
         dt = Kb.dtype
@@ -559,6 +591,7 @@ class CellWindowTerm:
 
     def project_rhs(self, r_el: jnp.ndarray) -> jnp.ndarray:
         """y = Mᵀ_term r from bound element residuals (ne, L, nc), f32/f64."""
+        self._no_spill("project_rhs")
         ne, km, L, nc = self.meta
         dt = r_el.dtype
 
@@ -633,12 +666,161 @@ class CellWindowTerm:
         return self._place_classes_df(out)
 
 
+@jax.tree_util.register_pytree_node_class
+class CompactWindowTerm:
+    """Probe-only overflow slots of a capped CellWindowTerm.
+
+    Same congruence math as the dense term, but over a COMPACT cell list
+    (ncc = cells whose occupancy exceeded l_cap, <1% of the bbox at the 3D
+    bench) with scatter-add placement instead of shifted slices:
+    ``rows_w[d1]`` holds the flat lattice index of base+δ(d1) per compact
+    cell (host-precomputed, unique within a class). Carries no df tables —
+    the df apply/project paths never split.
+    """
+
+    def __init__(self, val_b, kappa, perm, rows_w, shape, meta):
+        self.val_b = val_b               # (ne, km, L2, ncc)
+        self.kappa = kappa               # (ne, km, L2, ncc) int8
+        self.perm = perm                 # (L2, ncc) int32
+        self.rows_w = rows_w             # (w, ncc) int32 flat lattice ids
+        self.shape = tuple(shape)
+        self.meta = meta                 # (ne, km, L2, ncc)
+
+    @property
+    def dim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def w(self) -> int:
+        return 3 ** self.dim
+
+    def tree_flatten(self):
+        return (self.val_b, self.kappa, self.perm, self.rows_w), (
+            self.shape, self.meta,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        val_b, kappa, perm, rows_w = leaves
+        shape, meta = aux
+        return cls(val_b, kappa, perm, rows_w, shape, meta)
+
+    @staticmethod
+    def _build(shape, starts, sizes, cell_over, slot2, src_over,
+               tval, valid, kap, dtype):
+        dim = len(shape)
+        ne, km = tval.shape[1], tval.shape[2]
+        cells_u, cmap = np.unique(cell_over, return_inverse=True)
+        ncc = max(int(cells_u.size), 1)
+        L2 = max(int(slot2.max()) + 1 if slot2.size else 0, 1)
+        val_t = np.zeros((ne, km, L2, ncc), dtype=dtype)
+        kap_t = np.zeros((ne, km, L2, ncc), dtype=np.int8)
+        perm = np.zeros((L2, ncc), dtype=np.int32)
+        if slot2.size:
+            val_t[:, :, slot2, cmap] = np.moveaxis(
+                np.where(valid[src_over], tval[src_over], 0.0), 0, -1
+            )
+            kap_t[:, :, slot2, cmap] = np.moveaxis(kap[src_over], 0, -1)
+            perm[slot2, cmap] = (src_over + 1).astype(np.int32)
+        # decode bbox-flat cell ids -> per-axis lattice base coords
+        rem = cells_u if cells_u.size else np.zeros(1, np.int64)
+        bc = []
+        for d in range(dim - 1, 0, -1):
+            bc.append(rem % sizes[d])
+            rem = rem // sizes[d]
+        bc.append(rem)
+        bc = bc[::-1]
+        base_ax = [starts[d] + bc[d] for d in range(dim)]
+        offs = _class_offsets(dim)
+        strides = np.ones(dim, dtype=np.int64)
+        for d in range(dim - 2, -1, -1):
+            strides[d] = strides[d + 1] * shape[d + 1]
+        rows_w = np.stack([
+            sum((base_ax[d] + int(offs[k, d])) * strides[d]
+                for d in range(dim))
+            for k in range(3 ** dim)
+        ]).astype(np.int32)
+        return CompactWindowTerm(
+            jnp.asarray(val_t), jnp.asarray(kap_t), jnp.asarray(perm),
+            jnp.asarray(rows_w), shape, (ne, km, L2, ncc),
+        )
+
+    def window_planes(self, K_el: jnp.ndarray, dtype=jnp.float64,
+                      radius: int = 2) -> jnp.ndarray:
+        """Planes ((2r+1)^dim, *shape) of this term's overflow slots."""
+        ne, km, L, ncc = self.meta
+        w = self.w
+        dim = self.dim
+        m = 2 * radius + 1
+        dtype = jnp.dtype(dtype)
+        hi = jax.lax.Precision.HIGHEST
+
+        rows = K_el.astype(dtype).reshape(ne * ne, -1).T
+        rows = jnp.concatenate(
+            [jnp.zeros((1, ne * ne), dtype), rows], axis=0
+        )
+        Kc = jnp.transpose(
+            rows[self.perm.reshape(-1)].reshape(L, ncc, ne * ne), (0, 2, 1)
+        )
+        val = self.val_b.astype(dtype)
+        E = [[None] * w for _ in range(ne)]
+        for b in range(ne):
+            for d in range(w):
+                acc = val[b, 0] * (self.kappa[b, 0] == d).astype(dtype)
+                for kb in range(1, km):
+                    acc = acc + val[b, kb] * (
+                        self.kappa[b, kb] == d
+                    ).astype(dtype)
+                E[b][d] = acc
+        T = [[None] * w for _ in range(ne)]
+        for a in range(ne):
+            for d in range(w):
+                t = Kc[:, a * ne] * E[0][d]
+                for b in range(1, ne):
+                    t = t + Kc[:, a * ne + b] * E[b][d]
+                T[a][d] = t
+
+        def g_vec(d1, d2):
+            g = E[0][d1] * T[0][d2]
+            for a in range(1, ne):
+                g = g + E[a][d1] * T[a][d2]
+            return jnp.sum(g, axis=0)
+
+        G = None
+        if dtype == jnp.float32:
+            Ehat = jnp.stack([
+                jnp.concatenate([E[b][d] for b in range(ne)])
+                for d in range(w)
+            ])
+            That = jnp.stack([
+                jnp.concatenate([T[a][d] for a in range(ne)])
+                for d in range(w)
+            ])
+            G = jax.lax.dot_general(
+                jnp.transpose(Ehat, (2, 0, 1)), jnp.transpose(That, (2, 0, 1)),
+                (((2,), (2,)), ((0,), (0,))), precision=hi,
+            )                                            # (ncc, w, w)
+
+        offs = _class_offsets(dim)
+        planes = jnp.zeros((m ** dim, int(np.prod(self.shape))), dtype)
+        for d1 in range(w):
+            idx = self.rows_w[d1]
+            for d2 in range(w):
+                o = offs[d2] - offs[d1]
+                k = 0
+                for d in range(dim):
+                    k = k * m + int(o[d]) + radius
+                gv = G[:, d1, d2] if G is not None else g_vec(d1, d2)
+                planes = planes.at[k, idx].add(gv, unique_indices=True)
+        return planes.reshape((m ** dim,) + self.shape)
+
+
 # -- form-level helpers --------------------------------------------------------
 
 
 def build_window_projection(form, M, shape, radius: int = 2,
-                            dtype=np.float32,
-                            df: bool = False) -> list[CellWindowTerm]:
+                            dtype=np.float32, df: bool = False,
+                            l_cap=None) -> list[CellWindowTerm]:
     """Cell-window tables for every term of a form (host, setup-time)."""
     if form.n_fields != 1:
         raise LatticeBinError("cell-window binning covers scalar fields")
@@ -648,7 +830,8 @@ def build_window_projection(form, M, shape, radius: int = 2,
         if fl is None:
             fl = np.asarray(dom.eldofsT).T
         reducers.append(
-            CellWindowTerm.build(fl, M, shape, radius, dtype=dtype, df=df)
+            CellWindowTerm.build(fl, M, shape, radius, dtype=dtype, df=df,
+                                 l_cap=l_cap)
         )
     return reducers
 
@@ -666,6 +849,13 @@ def stencil_coeffs_windows(reducers, bound_blocks) -> jnp.ndarray:
     return C
 
 
+def _planes_with_spill(red, K, dtype, slab_bytes):
+    Ct = red.window_planes(K, dtype=dtype, slab_bytes=slab_bytes)
+    if red.spill is not None:
+        Ct = Ct + red.spill.window_planes(K, dtype=dtype)
+    return Ct
+
+
 def stencil_planes_windows(reducers, K_els, dtype=jnp.float64,
                            slab_bytes: float = 1.5e9) -> jnp.ndarray:
     """Fused memory-bounded form of :func:`stencil_coeffs_windows`: planes
@@ -673,7 +863,7 @@ def stencil_planes_windows(reducers, K_els, dtype=jnp.float64,
     slot-bound K, no materialized G (see CellWindowTerm.window_planes)."""
     C = None
     for red, K in zip(reducers, K_els):
-        Ct = red.window_planes(K, dtype=dtype, slab_bytes=slab_bytes)
+        Ct = _planes_with_spill(red, K, dtype, slab_bytes)
         C = Ct if C is None else C + Ct
     return C
 

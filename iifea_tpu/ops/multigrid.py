@@ -39,6 +39,28 @@ from iifea_tpu.ops.stencil import (
     StencilOperatorBlock2D,
 )
 
+def _warn_weak_coarse(shape, dense_ok: bool) -> None:
+    """Flag a hierarchy that bottoms out too large for the dense inverse.
+
+    The vertex-centered coarsening halves a side s only while (s - 1) is
+    even, so a lattice whose sides are not (2^k·m + 1) with small m stops
+    early; the Jacobi-sweep 'coarse solve' then leaves low frequencies
+    untouched and the V-cycle degrades to a smoother. This is a sizing
+    mistake worth a loud warning: the first 3D 1M-dof bench ran n_bg=100
+    (101-51-26 ladder, 17.6k-dof coarse level) and spent 3132 CG
+    iterations where the 105-53-27-14 ladder takes ~1/20th of that.
+    """
+    if not dense_ok:
+        from iifea_tpu.utils.logging import log_info
+
+        log_info(
+            f"[multigrid] WARNING: coarsest level {shape} exceeds the "
+            "dense-inverse cap; the V-cycle will be weak on low "
+            "frequencies. Choose the lattice so every side coarsens to "
+            "O(10): side = 2^k*m + 1 with a small odd m."
+        )
+
+
 _KERNEL = np.array(
     [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
 )
@@ -416,6 +438,7 @@ class StencilMultigrid:
         dense_ok = coarse_dense and (
             shapes[-1][0] * shapes[-1][1] <= 4096
         )
+        _warn_weak_coarse(shapes[-1], dense_ok)
 
         self.levels = [S]
         tail_levels, invds, cinv, lmaxs = _build_tail(
@@ -632,11 +655,9 @@ class StencilMultigrid3D:
         # l1-Jacobi (ω=1): unconditionally stable on sliver-cut stencils,
         # where plain ω=0.67 diagonal Jacobi diverges (see _invd3_l1)
         self.inv_diags = [_invd3_l1(S_l) for S_l in self.levels]
-        self.coarse_inv = (
-            _dense_inverse3(self.levels[-1])
-            if coarse_dense and self.levels[-1].n <= 8192
-            else None
-        )
+        dense_ok = coarse_dense and self.levels[-1].n <= 8192
+        _warn_weak_coarse(self.levels[-1].shape, dense_ok)
+        self.coarse_inv = _dense_inverse3(self.levels[-1]) if dense_ok else None
 
     def _smooth(self, lvl: int, x, b, sweeps: int):
         S = self.levels[lvl]
@@ -826,10 +847,10 @@ class StencilMultigridBlock:
         ):
             self.levels.append(_coarsen_block(self.levels[-1]))
         self.binvs = [_point_binv(S_l) for S_l in self.levels]
+        dense_ok = coarse_dense and self.levels[-1].n <= 8192
+        _warn_weak_coarse(self.levels[-1].shape, dense_ok)
         self.coarse_inv = (
-            _dense_inverse_block(self.levels[-1])
-            if coarse_dense and self.levels[-1].n <= 8192
-            else None
+            _dense_inverse_block(self.levels[-1]) if dense_ok else None
         )
 
     def _smooth(self, lvl: int, x, b, sweeps: int):
@@ -955,10 +976,10 @@ class StencilMultigridBlock3D:
         # _point_binv and _dense_inverse_block only touch the shared block
         # interface (point_block_diag / coeffs / mv / n) — reused as-is
         self.binvs = [_point_binv(S_l) for S_l in self.levels]
+        dense_ok = coarse_dense and self.levels[-1].n <= 8192
+        _warn_weak_coarse(self.levels[-1].shape, dense_ok)
         self.coarse_inv = (
-            _dense_inverse_block(self.levels[-1])
-            if coarse_dense and self.levels[-1].n <= 8192
-            else None
+            _dense_inverse_block(self.levels[-1]) if dense_ok else None
         )
 
     def _smooth(self, lvl: int, x, b, sweeps: int):

@@ -121,8 +121,13 @@ class BinnedLatticeSolver:
             #   * no f64 dot_general anywhere: XLA:TPU emulates f64 dots
             #     by 8x bf16 operand decompositions whose tiny (ne, w)
             #     minor axes lane-pad 4.7-32x (measured 28 GB at n_bg=32).
+            # l_cap='auto': cap the dense slot depth at the p99 occupancy
+            # and spill the <1% overflow slots into compact scatter-placed
+            # tables — halves the dominant HBM resident at the 3D bench
+            # (measured p50=6/p99=24/max=48 occupancy)
             self.reducers = cell_window.build_window_projection(
-                form, M, self.shape, dtype=np.float32, df=False
+                form, M, self.shape, dtype=np.float32, df=False,
+                l_cap="auto",
             )
             self.rhs_tables = None
             self.JinvT_b = self.wdetT_b = None
@@ -231,9 +236,13 @@ class BinnedLatticeSolver:
             if self._use_window:
                 from iifea_tpu.ops.projection import BackgroundOperator
 
-                if self._A64 is None:
-                    self._A64 = BackgroundOperator(form, list(bound), self.M)
-                return _residual_gen(self._A64, b64, x64)
+                # built fresh from the CURRENT bound blocks each call — a
+                # cached operator held the previous solve's blocks alive
+                # (an extra ~0.3 GB at the 3D bench) and went stale on
+                # reassembly; construction is a pytree wrapper, and the jit
+                # cache keys on treedef/shapes, so this costs nothing
+                A64 = BackgroundOperator(form, list(bound), self.M)
+                return _residual_gen(A64, b64, x64)
             return _residual_df(reds, bound, b64, x64)
 
         @jax.jit
@@ -302,7 +311,6 @@ class BinnedLatticeSolver:
         self._cg_fn = _cg32
         self._accum_fn = _accum
         self._refine_fused_fn = _refine_fused
-        self._A64 = None   # window path: general f64 operator (lazy)
 
     # -- pipeline stages (individually timeable) -------------------------------
 
@@ -339,15 +347,23 @@ class BinnedLatticeSolver:
         (pass loop on device, no per-pass host syncs); set
         IIFEA_NO_FUSED_REFINE=1 to fall back to the per-pass Python driver
         (per-phase timing, A/B)."""
-        if cg_fn is None and not os.environ.get("IIFEA_NO_FUSED_REFINE"):
-            if self._use_window and self._A64 is None:
+        fused = not os.environ.get("IIFEA_NO_FUSED_REFINE")
+        if self.dim == 3 and not os.environ.get("IIFEA_FUSED_REFINE"):
+            # the monolithic fused-refine executable (while_loop{CG + MG
+            # V-cycle + general f64 residual}) crashed the TPU worker at the
+            # 3D 1M-dof scale twice (r5 diag, with and without Pallas in the
+            # loop); the per-pass driver below runs the same math in small
+            # executables at the cost of ~25 ms of tunnel sync per pass.
+            # IIFEA_FUSED_REFINE=1 opts back in for A/B.
+            fused = False
+        if cg_fn is None and fused:
+            A64 = None
+            if self._use_window:
                 from iifea_tpu.ops.projection import BackgroundOperator
 
-                self._A64 = BackgroundOperator(
-                    self.prob.form, list(bound), self.M
-                )
+                A64 = BackgroundOperator(self.prob.form, list(bound), self.M)
             x64, relres, iters = self._refine_fused_fn(
-                self.reducers, bound, self._A64, S32, mg, b64, rtol,
+                self.reducers, bound, A64, S32, mg, b64, rtol,
                 max_passes,
             )
             return x64, float(relres), int(iters)

@@ -144,6 +144,48 @@ def test_window_planes_fused_matches_general_3d():
     assert np.abs(np.asarray(C32) - C_ref).max() < 1e-5 * scale
 
 
+def test_window_planes_lcap_split_matches_uncapped():
+    """l_cap splitting (dense table capped at p99 occupancy + compact
+    scatter-placed overflow) reproduces the uncapped fused probe exactly:
+    the split only re-homes slots, every (element, weight) contribution is
+    assembled once."""
+    prob, M, shape = _setup3d()
+    u0 = jnp.zeros(prob.space.n_dofs)
+    blocks = prob.form.jacobian_blocks(u0)
+    red = cw.build_window_projection(prob.form, M, shape, dtype=np.float32)
+    C_ref = jax.jit(
+        lambda reds, Ks: cw.stencil_planes_windows(reds, Ks,
+                                                   dtype=jnp.float32)
+    )(red, [K.astype(jnp.float32) for K in blocks])
+
+    # a tiny cap forces a real split on every term
+    red_cap = cw.build_window_projection(
+        prob.form, M, shape, dtype=np.float32, l_cap=2
+    )
+    assert any(r.spill is not None for r in red_cap)
+    assert all(r.meta[2] <= 2 for r in red_cap)
+    C_cap = jax.jit(
+        lambda reds, Ks: cw.stencil_planes_windows(reds, Ks,
+                                                   dtype=jnp.float32)
+    )(red_cap, [K.astype(jnp.float32) for K in blocks])
+    scale = float(np.abs(np.asarray(C_ref)).max())
+    assert np.abs(np.asarray(C_cap) - np.asarray(C_ref)).max() < 1e-6 * scale
+
+    # 'auto' (the solver default) also matches
+    red_auto = cw.build_window_projection(
+        prob.form, M, shape, dtype=np.float32, l_cap="auto"
+    )
+    C_auto = jax.jit(
+        lambda reds, Ks: cw.stencil_planes_windows(reds, Ks,
+                                                   dtype=jnp.float32)
+    )(red_auto, [K.astype(jnp.float32) for K in blocks])
+    assert np.abs(np.asarray(C_auto) - np.asarray(C_ref)).max() < 1e-6 * scale
+
+    # guarded: bound-table paths must refuse a split table
+    with pytest.raises(LatticeBinError):
+        next(r for r in red_cap if r.spill is not None).window_g(None)
+
+
 def test_window_spill_raises():
     # n_fg=2 on n_bg=9: fg elements span ~4.5 bg cells with non-aligned
     # nodes, so an element's extraction targets exceed the {0..2}^3 window.

@@ -36,10 +36,20 @@ def rep(name, tree):
 
 for i, red in enumerate(solver.reducers):
     print(f"reducer[{i}] meta={red.meta} bbox={red.bbox}")
+    perm = np.asarray(red.perm)          # (L, nc), 0 = padding
+    occ = (perm != 0).sum(axis=0)
+    used = occ[occ > 0]
+    print(f"  occupancy: cells_used={used.size}/{occ.size} "
+          f"({used.size / occ.size:.1%}) mean={used.mean():.2f} "
+          f"p50={np.percentile(used, 50):.0f} "
+          f"p99={np.percentile(used, 99):.0f} max={used.max()}")
     rep(f"red{i}.val_b", red.val_b)
     rep(f"red{i}.kappa", red.kappa)
     rep(f"red{i}.perm", red.perm)
     rep(f"red{i}.val_lo", red.val_lo)
+    if red.spill is not None:
+        print(f"  spill meta={red.spill.meta}")
+        rep(f"red{i}.spill", red.spill)
 rep("rhs_tables", solver.rhs_tables)
 rep("JinvT_b", solver.JinvT_b)
 rep("wdetT_b", solver.wdetT_b)
