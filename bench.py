@@ -36,10 +36,13 @@ BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
 
 def fg_of(n_bg, dim=2):
     # 2D: the sqrt(2) fg/bg spacing ratio of the reference workloads.
-    # 3D: 1.19 (cube-root-ish) — each bg cell still holds ~10 misaligned
-    # tets, but the (L, nc) slot tables stay inside 16G HBM at 1M bg dofs
-    # (the 1.41 ratio OOMs: 6x1.41^3 ~ 17 tets/cell, max-slot padding x48).
-    r = 1.4142 if dim == 2 else 1.19
+    # 3D: 1.26 (~2^(1/3)). The round-4 1.19 choice (picked to keep the
+    # max-slot-padded tables inside HBM) made fg and bg spacings nearly
+    # equal, which breeds near-duplicate basis functions: measured 116
+    # MG-PCG iters to 1e-6 at 17³ vs 32 at ratio 1.26 / 36 at 1.41. With
+    # the l_cap-split tables the memory argument is gone, so the ratio is
+    # chosen for conditioning (1.26 best of the sweep, r5).
+    r = 1.4142 if dim == 2 else 1.26
     return int(n_bg * r) // 2 * 2
 
 

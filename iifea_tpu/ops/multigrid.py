@@ -627,13 +627,15 @@ class StencilMultigrid3D:
     def tree_flatten(self):
         return (self.levels, self.inv_diags, self.coarse_inv), (
             self.nu_pre, self.nu_post, self.omega, self.coarse_sweeps,
+            self.smoother, self.cheb_alpha,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.levels, obj.inv_diags, obj.coarse_inv = children
-        obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps = aux
+        (obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps,
+         obj.smoother, obj.cheb_alpha) = aux
         return obj
 
     def __init__(
@@ -645,10 +647,14 @@ class StencilMultigrid3D:
         coarse_sweeps: int = 60,
         min_size: int = 9,
         coarse_dense: bool = True,
+        smoother: str = "chebyshev",
+        cheb_alpha: float = 8.0,
     ):
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_sweeps = coarse_sweeps
+        self.smoother = smoother
+        self.cheb_alpha = cheb_alpha
         self.levels = [S]
         while all((s - 1) % 2 == 0 and s > min_size for s in self.levels[-1].shape):
             self.levels.append(_coarsen3(self.levels[-1]))
@@ -662,6 +668,35 @@ class StencilMultigrid3D:
     def _smooth(self, lvl: int, x, b, sweeps: int):
         S = self.levels[lvl]
         invd = self.inv_diags[lvl]
+        if self.smoother == "chebyshev":
+            # Chebyshev on the l1-scaled operator, fixed interval
+            # [λmax/α, λmax] with λmax = 1.05: the l1 scaling bounds the
+            # spectrum by 1 (Gershgorin), so no power-iteration estimate is
+            # needed and stability on sliver-cut stencils is kept. Measured
+            # on the 3D immersed bench fixture (17³, fg/bg 1.26): 20 PCG
+            # iters to 1e-6 vs 32 with the ω=1 l1-Jacobi sweeps at the
+            # SAME one-matvec-per-sweep cost — unlike 2D, where Chebyshev
+            # bought nothing (see StencilMultigrid._smooth_cheb notes),
+            # the 3D l1 row sums run ~4x the diagonal and plain l1-Jacobi
+            # under-relaxes into a weak smoother.
+            if sweeps <= 0:
+                return x
+            hi = 1.05
+            lo = hi / self.cheb_alpha
+            theta = 0.5 * (hi + lo)
+            delta = 0.5 * (hi - lo)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            r = invd * (b - S.mv_ref(x))
+            d = r / theta
+            x = x + d
+            for _ in range(sweeps - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                r = invd * (b - S.mv_ref(x))
+                d = rho_new * (2.0 * r / delta + rho * d)
+                x = x + d
+                rho = rho_new
+            return x
         om = self.omega
 
         # mv_ref, not the Pallas mv: see class docstring

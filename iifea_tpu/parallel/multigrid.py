@@ -49,9 +49,11 @@ class _ShardedMGBase:
     dim: int
 
     def __init__(self, mg, mesh: DeviceMesh, min_shard_rows: int | None = None):
-        if getattr(mg, "smoother", "jacobi") != "jacobi":
+        self.smoother = getattr(mg, "smoother", "jacobi")
+        self.cheb_alpha = getattr(mg, "cheb_alpha", 8.0)
+        if self.smoother not in ("jacobi", "chebyshev"):
             raise NotImplementedError(
-                "sharded V-cycle supports the (default) jacobi smoother"
+                f"sharded V-cycle: unsupported smoother {self.smoother!r}"
             )
         self.mesh = mesh
         self.nu_pre, self.nu_post = mg.nu_pre, mg.nu_post
@@ -94,7 +96,7 @@ class _ShardedMGBase:
         return (self.C, self.invd, self.coarse_inv), (
             self.mesh, self.nu_pre, self.nu_post, self.omega,
             self.coarse_sweeps, tuple(self.shapes), tuple(self.radii),
-            tuple(self._specs),
+            tuple(self._specs), self.smoother, self.cheb_alpha,
         )
 
     @classmethod
@@ -102,7 +104,7 @@ class _ShardedMGBase:
         obj = object.__new__(cls)
         obj.C, obj.invd, obj.coarse_inv = children
         (obj.mesh, obj.nu_pre, obj.nu_post, obj.omega, obj.coarse_sweeps,
-         shapes, radii, specs) = aux
+         shapes, radii, specs, obj.smoother, obj.cheb_alpha) = aux
         obj.shapes = list(shapes)
         obj.radii = list(radii)
         obj._specs = list(specs)
@@ -154,8 +156,30 @@ class _ShardedMGBase:
         return y
 
     def _smooth(self, lvl: int, x, b, sweeps: int):
-        om = self.omega
         invd = self._invdlvl(lvl)
+        if self.smoother == "chebyshev":
+            # fixed-interval Chebyshev on the scaled operator — mirrors
+            # StencilMultigrid3D._smooth so the sharded cycle matches
+            # single-device iteration-for-iteration
+            if sweeps <= 0:
+                return x
+            hi = 1.05
+            lo = hi / self.cheb_alpha
+            theta = 0.5 * (hi + lo)
+            delta = 0.5 * (hi - lo)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            r = invd * (b - self._mv(lvl, x))
+            d = r / theta
+            x = self._c(lvl, x + d)
+            for _ in range(sweeps - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                r = invd * (b - self._mv(lvl, x))
+                d = rho_new * (2.0 * r / delta + rho * d)
+                x = self._c(lvl, x + d)
+                rho = rho_new
+            return x
+        om = self.omega
 
         def body(_, x):
             return self._c(lvl, x + om * invd * (b - self._mv(lvl, x)))
