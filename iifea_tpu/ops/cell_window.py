@@ -196,9 +196,27 @@ class CellWindowTerm:
             kap = kap * 3 + np.clip(deltas[d], 0, 2).astype(np.int8)
 
         if l_cap == "auto":
-            used = counts[counts > 0]
-            l_cap = (max(int(np.percentile(used, 99)), 4)
-                     if used.size else None)
+            # byte-optimal cap from the occupancy histogram: dense pays
+            # cap·nc slots, the spill pays (L-cap)·ncc(cap) with
+            # ncc(cap) = #cells of occupancy > cap. (A p99 cap is useless
+            # when the distribution is top-heavy — at the ratio-1.26 3D
+            # bench p99 == max == 48 and the table stayed 2.7 GB.)
+            if counts.size and L > 1:
+                caps = np.arange(1, L + 1)
+                hist = np.bincount(
+                    np.minimum(counts[counts > 0], L), minlength=L + 1
+                )
+                ncc_gt = hist[::-1].cumsum()[::-1]        # ncc_gt[c] = #cells occ >= c
+                ncc = np.concatenate([ncc_gt[2:], [0]])   # occ > cap
+                # spill slots are ~6x a dense slot at runtime (their
+                # placement is scatter-add, the dense path shifted slices),
+                # so the objective weights them — a pure-bytes optimum put
+                # 16% of the used cells in the spill and the probe paid
+                # seconds of scatter time for a few hundred MB saved
+                total = caps * nc + 6 * (L - caps) * ncc
+                l_cap = max(int(caps[np.argmin(total)]), 2)
+            else:
+                l_cap = None
         spill = None
         if l_cap is not None and L > int(l_cap) and not df:
             l_cap = int(l_cap)
@@ -407,10 +425,8 @@ class CellWindowTerm:
         )
         slab = max(1, min(int(slab_bytes // max(per_x, 1)), sx))
 
-        def slab_contrib(planes, i0, n_x):
-            """Accumulate the cells of bbox x-rows [i0, i0+n_x)."""
-            lo = i0 * rest
-            n_sl = n_x * rest
+        def slab_g(lo, n_sl):
+            """Window congruence of slot columns [lo, lo+n_sl) -> (w², n_sl)."""
             val = jax.lax.dynamic_slice_in_dim(
                 self.val_b, lo, n_sl, 3
             ).astype(dtype)
@@ -442,14 +458,6 @@ class CellWindowTerm:
                     for b in range(1, ne):
                         t = t + Kc[:, a * ne + b] * E[b][d]
                     T[a][d] = t
-
-            def g_vec(d1, d2):
-                g = E[0][d1] * T[0][d2]
-                for a in range(1, ne):
-                    g = g + E[a][d1] * T[a][d2]
-                return jnp.sum(g, axis=0)                # (n_sl,)
-
-            G = None
             if dtype == jnp.float32:
                 # one large batched contraction on the MXU: combined
                 # (a, l) axis of size ne·L is the contraction (lane-pads
@@ -468,39 +476,56 @@ class CellWindowTerm:
                 G = jax.lax.dot_general(
                     Et, Tt, (((2,), (2,)), ((0,), (0,))), precision=hi,
                 )                                        # (n_sl, w, w)
+                return G.reshape(n_sl, w * w).T          # (w², n_sl)
+            return jnp.stack([
+                sum((E[a][d1] * T[a][d2] for a in range(1, ne)),
+                    E[0][d1] * T[0][d2]).sum(axis=0)
+                for d1 in range(w) for d2 in range(w)
+            ])                                           # (w², n_sl)
 
-            reg = (n_x,) + tuple(sizes[1:])
-            for d1 in range(w):
-                place_r = tuple(
-                    starts[d] + int(offs[d1, d]) for d in range(1, dim)
-                )
-                px = starts[0] + int(offs[d1, 0]) + i0
-                for d2 in range(w):
-                    o = offs[d2] - offs[d1]
-                    k = 0
-                    for d in range(dim):
-                        k = k * m + int(o[d]) + radius
-                    at = (k, px) + place_r
-                    cur = jax.lax.dynamic_slice(planes, at, (1,) + reg)
-                    gv = (G[..., d1, d2] if G is not None
-                          else g_vec(d1, d2))
-                    planes = jax.lax.dynamic_update_slice(
-                        planes, cur + gv.reshape((1,) + reg), at
-                    )
-            return planes
-
-        planes = jnp.zeros((m ** dim,) + self.shape, dtype)
+        # Phase 1 — congruence: stream slot slabs into a (w², nc) window-
+        # operator buffer, ONE contiguous-column update per slab. (The
+        # earlier design placed each slab's w² contributions onto the
+        # planes directly: w² tiny slice-updates × ~100 slabs = ~75k
+        # sequential ~33 KB kernels, measured 21.2 s of the 27.6 s 3D
+        # 1M-dof solve — pure per-op overhead, not traffic.)
+        Gbuf = jnp.zeros((w * w, nc), dtype)
         n_full = sx // slab
         if n_full:
-            def body(p, i):
-                return slab_contrib(p, i * slab, slab), None
+            def body(g, i):
+                lo = i * (slab * rest)
+                return jax.lax.dynamic_update_slice(
+                    g, slab_g(lo, slab * rest), (0, lo)
+                ), None
 
-            planes, _ = jax.lax.scan(
-                body, planes, jnp.arange(n_full), unroll=1
-            )
+            Gbuf, _ = jax.lax.scan(body, Gbuf, jnp.arange(n_full), unroll=1)
         tail = sx - n_full * slab
         if tail:
-            planes = slab_contrib(planes, n_full * slab, tail)
+            Gbuf = jax.lax.dynamic_update_slice(
+                Gbuf, slab_g(n_full * slab * rest, tail * rest),
+                (0, n_full * slab * rest),
+            )
+
+        # Phase 2 — placement: w² full-bbox shifted accumulations, each one
+        # slice-read + add + slice-write of the whole (sx, sy, ...) region
+        planes = jnp.zeros((m ** dim,) + self.shape, dtype)
+        for d1 in range(w):
+            at = (0,) + tuple(
+                starts[d] + int(offs[d1, d]) for d in range(dim)
+            )
+            for d2 in range(w):
+                o = offs[d2] - offs[d1]
+                k = 0
+                for d in range(dim):
+                    k = k * m + int(o[d]) + radius
+                at_k = (k,) + at[1:]
+                cur = jax.lax.dynamic_slice(
+                    planes, at_k, (1,) + tuple(sizes)
+                )
+                contrib = Gbuf[d1 * w + d2].reshape((1,) + tuple(sizes))
+                planes = jax.lax.dynamic_update_slice(
+                    planes, cur + contrib, at_k
+                )
         return planes
 
     # -- rhs projection + df operator application -------------------------------
@@ -746,62 +771,101 @@ class CompactWindowTerm:
         )
 
     def window_planes(self, K_el: jnp.ndarray, dtype=jnp.float64,
-                      radius: int = 2) -> jnp.ndarray:
-        """Planes ((2r+1)^dim, *shape) of this term's overflow slots."""
+                      radius: int = 2,
+                      slab_bytes: float = 1.5e9) -> jnp.ndarray:
+        """Planes ((2r+1)^dim, *shape) of this term's overflow slots.
+
+        Chunked over compact cells: with the byte-optimal l_cap the spill
+        can hold ~16% of the used cells (140k at the 3D 1M-dof bench), so
+        the unchunked E/T/Et/Tt workspace would be ~16 GB — the per-chunk
+        footprint is budgeted exactly like the dense slab scan."""
         ne, km, L, ncc = self.meta
         w = self.w
         dim = self.dim
         m = 2 * radius + 1
         dtype = jnp.dtype(dtype)
+        esz = dtype.itemsize
         hi = jax.lax.Precision.HIGHEST
 
         rows = K_el.astype(dtype).reshape(ne * ne, -1).T
         rows = jnp.concatenate(
             [jnp.zeros((1, ne * ne), dtype), rows], axis=0
         )
-        Kc = jnp.transpose(
-            rows[self.perm.reshape(-1)].reshape(L, ncc, ne * ne), (0, 2, 1)
+        pad_s = -(-w // 8) * 8
+        pad_l = -(-(ne * L) // 128) * 128
+        per_c = (
+            L * (ne * km * (esz + 1) + 2 * ne * w * esz + 2 * ne * ne * esz)
+            + 2 * pad_s * pad_l * esz
+            + pad_s * (-(-w // 128) * 128) * esz
         )
-        val = self.val_b.astype(dtype)
-        E = [[None] * w for _ in range(ne)]
-        for b in range(ne):
-            for d in range(w):
-                acc = val[b, 0] * (self.kappa[b, 0] == d).astype(dtype)
-                for kb in range(1, km):
-                    acc = acc + val[b, kb] * (
-                        self.kappa[b, kb] == d
-                    ).astype(dtype)
-                E[b][d] = acc
-        T = [[None] * w for _ in range(ne)]
-        for a in range(ne):
-            for d in range(w):
-                t = Kc[:, a * ne] * E[0][d]
-                for b in range(1, ne):
-                    t = t + Kc[:, a * ne + b] * E[b][d]
-                T[a][d] = t
-
-        def g_vec(d1, d2):
-            g = E[0][d1] * T[0][d2]
-            for a in range(1, ne):
-                g = g + E[a][d1] * T[a][d2]
-            return jnp.sum(g, axis=0)
-
-        G = None
-        if dtype == jnp.float32:
-            Ehat = jnp.stack([
-                jnp.concatenate([E[b][d] for b in range(ne)])
-                for d in range(w)
-            ])
-            That = jnp.stack([
-                jnp.concatenate([T[a][d] for a in range(ne)])
-                for d in range(w)
-            ])
-            G = jax.lax.dot_general(
-                jnp.transpose(Ehat, (2, 0, 1)), jnp.transpose(That, (2, 0, 1)),
-                (((2,), (2,)), ((0,), (0,))), precision=hi,
-            )                                            # (ncc, w, w)
-
+        chunk = max(1, min(int(slab_bytes // max(per_c, 1)), ncc))
         offs = _class_offsets(dim)
+
+        def chunk_g(lo, n_c):
+            """Congruence of compact cells [lo, lo+n_c) -> (w², n_c)."""
+            val = jax.lax.dynamic_slice_in_dim(
+                self.val_b, lo, n_c, 3
+            ).astype(dtype)
+            kap = jax.lax.dynamic_slice_in_dim(self.kappa, lo, n_c, 3)
+            prm = jax.lax.dynamic_slice_in_dim(self.perm, lo, n_c, 1)
+            Kc = jnp.transpose(
+                rows[prm.reshape(-1)].reshape(L, n_c, ne * ne), (0, 2, 1)
+            )
+            E = [[None] * w for _ in range(ne)]
+            for b in range(ne):
+                for d in range(w):
+                    acc = val[b, 0] * (kap[b, 0] == d).astype(dtype)
+                    for kb in range(1, km):
+                        acc = acc + val[b, kb] * (kap[b, kb] == d).astype(
+                            dtype
+                        )
+                    E[b][d] = acc
+            T = [[None] * w for _ in range(ne)]
+            for a in range(ne):
+                for d in range(w):
+                    t = Kc[:, a * ne] * E[0][d]
+                    for b in range(1, ne):
+                        t = t + Kc[:, a * ne + b] * E[b][d]
+                    T[a][d] = t
+            if dtype == jnp.float32:
+                Ehat = jnp.stack([
+                    jnp.concatenate([E[b][d] for b in range(ne)])
+                    for d in range(w)
+                ])
+                That = jnp.stack([
+                    jnp.concatenate([T[a][d] for a in range(ne)])
+                    for d in range(w)
+                ])
+                G = jax.lax.dot_general(
+                    jnp.transpose(Ehat, (2, 0, 1)),
+                    jnp.transpose(That, (2, 0, 1)),
+                    (((2,), (2,)), ((0,), (0,))), precision=hi,
+                )                                        # (n_c, w, w)
+                return G.reshape(n_c, w * w).T
+            return jnp.stack([
+                sum((E[a][d1] * T[a][d2] for a in range(1, ne)),
+                    E[0][d1] * T[0][d2]).sum(axis=0)
+                for d1 in range(w) for d2 in range(w)
+            ])
+
+        # phase 1: congruence into the (w², ncc) buffer, one update/chunk
+        Gbuf = jnp.zeros((w * w, ncc), dtype)
+        n_full = ncc // chunk
+        if n_full:
+            def body(g, i):
+                lo = i * chunk
+                return jax.lax.dynamic_update_slice(
+                    g, chunk_g(lo, chunk), (0, lo)
+                ), None
+
+            Gbuf, _ = jax.lax.scan(body, Gbuf, jnp.arange(n_full), unroll=1)
+        tail = ncc - n_full * chunk
+        if tail:
+            Gbuf = jax.lax.dynamic_update_slice(
+                Gbuf, chunk_g(n_full * chunk, tail), (0, n_full * chunk)
+            )
+
+        # phase 2: w² full-ncc scatter-adds (indices unique per row class)
         planes = jnp.zeros((m ** dim, int(np.prod(self.shape))), dtype)
         for d1 in range(w):
             idx = self.rows_w[d1]
@@ -810,8 +874,9 @@ class CompactWindowTerm:
                 k = 0
                 for d in range(dim):
                     k = k * m + int(o[d]) + radius
-                gv = G[:, d1, d2] if G is not None else g_vec(d1, d2)
-                planes = planes.at[k, idx].add(gv, unique_indices=True)
+                planes = planes.at[k, idx].add(
+                    Gbuf[d1 * w + d2], unique_indices=True
+                )
         return planes.reshape((m ** dim,) + self.shape)
 
 
@@ -852,7 +917,8 @@ def stencil_coeffs_windows(reducers, bound_blocks) -> jnp.ndarray:
 def _planes_with_spill(red, K, dtype, slab_bytes):
     Ct = red.window_planes(K, dtype=dtype, slab_bytes=slab_bytes)
     if red.spill is not None:
-        Ct = Ct + red.spill.window_planes(K, dtype=dtype)
+        Ct = Ct + red.spill.window_planes(K, dtype=dtype,
+                                          slab_bytes=slab_bytes)
     return Ct
 
 

@@ -57,6 +57,12 @@ rep("facet_dom", solver.prob.facet_dom)
 rep("cell_dom", solver.prob.cell_dom)
 print(f"persistent total: {tot / 1e9:.3f} GB")
 
+live = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+ltot = sum(a.nbytes for a in live)
+print(f"\nALL live device arrays: {ltot / 1e9:.3f} GB in {len(live)}")
+for a in live[:20]:
+    print(f"  {a.nbytes / 1e9:7.3f} GB  {a.shape}:{a.dtype}")
+
 # derived per-stage live estimates
 red = solver.reducers[0]
 ne, km, L, nc = red.meta

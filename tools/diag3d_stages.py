@@ -16,17 +16,28 @@ def log(msg):
 
 
 def mem(tag):
-    """Device HBM live/peak after a stage (axon exposes memory_stats)."""
-    import jax
+    """Empirical free-HBM probe: memory_stats() returns zeros through the
+    axon tunnel, so bisect the largest f32 allocation that still fits
+    (alloc-and-free). INVASIVE — the freed probe block races with the next
+    dispatch through the tunnel (measured: assemble OOMed right after an
+    8 GB probe) — so it only runs under IIFEA_DIAG_MEM=1."""
+    import os
 
-    try:
-        s = jax.local_devices()[0].memory_stats() or {}
-        log(f"mem[{tag}]: in_use={s.get('bytes_in_use', 0) / 1e9:.2f}GB "
-            f"peak={s.get('peak_bytes_in_use', 0) / 1e9:.2f}GB "
-            f"limit={s.get('bytes_limit', 0) / 1e9:.2f}GB "
-            f"largest_alloc={s.get('largest_alloc_size', 0) / 1e9:.2f}GB")
-    except Exception as e:  # tunnel may not expose stats
-        log(f"mem[{tag}]: unavailable ({e})")
+    if not os.environ.get("IIFEA_DIAG_MEM"):
+        return
+    import jax.numpy as jnp
+
+    lo, hi = 0.0, 16.0
+    while hi - lo > 0.25:
+        mid = 0.5 * (lo + hi)
+        try:
+            x = jnp.zeros(int(mid * 1e9 // 4), jnp.float32)
+            x.block_until_ready()
+            del x
+            lo = mid
+        except Exception:
+            hi = mid
+    log(f"mem[{tag}]: largest free block ~{lo:.2f} GB")
 
 
 T0 = time.time()
@@ -56,7 +67,41 @@ log("mg build ok")
 x64, relres, iters = solver.refine(S32, mg, bound, b64, 1e-10)
 jax.block_until_ready(x64)
 log(f"refine ok: relres={relres:.3e} iters={iters}")
+
+
+def sync(*vs):
+    """One fused readback (block_until_ready does not reliably block
+    through the axon tunnel)."""
+    import jax.numpy as jnp
+
+    leaves = [jnp.asarray(v) for t in vs
+              for v in jax.tree_util.tree_leaves(t)
+              if getattr(v, "size", 0)]
+    _ = float(sum(w.reshape(-1)[0].astype(jnp.float32) for w in leaves))
+
+
+# warm per-stage wall clock (everything compiled above); best of 2
+stages = [
+    ("assemble", lambda: solver.assemble(), ()),
+    ("bind", lambda: solver.bind(K_cell_b, K_facet), (K_cell_b, K_facet)),
+    ("probe", lambda: solver.probe(bound), (bound,)),
+    ("mg_build", lambda: solver.build_mg(S32), (S32,)),
+    ("refine", lambda: solver.refine(S32, mg, bound, b64, 1e-10), ()),
+]
+for name, fn, ins in stages:
+    best = None
+    for _ in range(2):
+        sync(*ins)
+        t0 = time.time()
+        out = fn()
+        sync(out)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    log(f"warm {name}: {best:.3f}s")
+
+del S32, mg, bound, b64, x64, out
 t0 = time.time()
 x64, info = solver.solve(rtol=1e-10)
 jax.block_until_ready(x64)
+_ = float(np.asarray(x64[0]))
 log(f"warm solve: {time.time() - t0:.3f}s {info}")
