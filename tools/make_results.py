@@ -208,8 +208,22 @@ def main():
              "--mesh-root synthetic: radius-3 stencil probe + geometric "
              "multigrid GMRES)",
         bih_syn, ["L2", "H1", "H2"], "L2 ~ h^2 (4th-order, k=2 splines)",
-        group=["dim", "mms"], extra_cols=("solver", "platform"),
+        group=["dim", "mms", "snap"], extra_cols=("solver", "platform"),
     )
+    if any(r.get("snap") for r in bih_syn):
+        out.append(
+            "_snap=True rows are the round-5 staircase-hypothesis "
+            "experiment: `--snap 1` projects every interface vertex onto "
+            "the exact rotated square (cut facets then lie ON the true "
+            "boundary polygon, re-entrant steps eliminated). The L2 rate "
+            "does NOT recover (0.55-0.82 vs 0.80-1.1 staircase) and "
+            "absolute errors worsen slightly — so the sub-2 L2 rate is "
+            "NOT (only) the staircase corners: the snapped boundary cells "
+            "straddle spline knot lines (breaking the nested-grid "
+            "extraction exactness in the O(h) boundary band) and the "
+            "distorted cut cells weaken Nitsche constants. Negative "
+            "result, recorded; the staircase default stays._\n"
+        )
     if any(r.get("mms") == "steep" for r in bih_syn):
         out.append(
             "_mms=None rows use the reference's own 2D exact solution "
